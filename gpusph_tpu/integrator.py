@@ -1,0 +1,198 @@
+"""Predictor-corrector integrator: the jit-compiled simulation hot loop.
+
+TPU-native collapse of the reference's orchestration stack: what GPUSPH
+spreads over the Integrator command program
+(`src/integrators/PredictorCorrectorIntegrator.cc:386-685`), the GPUSPH
+manager dispatch loop (`src/GPUSPH.cc:747-759`) and per-command GPUWorker
+kernel launches, becomes ONE pure function
+
+    sim_chunk: (State, dt, t, iters) -> (State, dt, t, iters, stats)
+
+that rebuilds the neighbor structure once (NEIBS_LIST phase,
+`src/Integrator.cc:95-250`) and then runs ``buildneibsfreq`` predictor/
+corrector steps under ``lax.scan`` — the whole thing traced once and
+compiled by XLA.  The host loop only handles write-out scheduling and
+termination, like the reference's TIME_STEP_EPILOGUE
+(`src/GPUSPH.cc:636-699`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .defs import SimFlags
+from .framework import SimFramework
+from .ops.filters import apply_filters
+from .ops.forces import compute_forces
+from .ops.integrate import compute_dt, euler_step
+from .ops.neighbors import CellAux, CellGrid, build_cells
+from .state import ParticleState
+
+
+class StepStats(struct.PyTreeNode):
+    """Diagnostics of one sim chunk (feeds the perf/validity reporting the
+    reference keeps in TimingInfo, `src/timing.h:43-100`)."""
+
+    max_occupancy: jax.Array  # i32[] max particles per cell at last rebuild
+    n_active: jax.Array  # i32[]
+    dt: jax.Array  # f32[] dt after the chunk
+    max_accel: jax.Array
+    max_sspeed: jax.Array
+
+
+class DtZeroException(RuntimeError):
+    """dt underflow (reference `src/timing.h:183-196`)."""
+
+
+class CellOverflowError(RuntimeError):
+    """A cell exceeded max_parts_per_cell — the analogue of the reference's
+    neighbor-list overflow abort (CHECK_NEIBSNUM, `src/GPUSPH.cc:1851`)."""
+
+
+def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 32,
+                   steps_per_chunk: Optional[int] = None) -> Callable:
+    """Build the jitted chunk function for a framework + grid.
+
+    Returns ``chunk(state, dt, t, iters) -> (state, dt, t, iters, stats)``
+    advancing ``steps_per_chunk`` (default ``buildneibsfreq``) time steps
+    after one neighbor rebuild.
+    """
+    sp = fw.sp
+    nsteps = steps_per_chunk or sp.buildneibsfreq
+    adaptive = bool(fw.flags & SimFlags.ENABLE_DTADAPT)
+
+    def pc_step(carry, it):
+        state, dt, t, aux = carry
+
+        # density filters at their frequencies (FILTER phase,
+        # PredictorCorrectorIntegrator.cc:800-877)
+        state = apply_filters(fw, grid, state, aux, it)
+
+        # PREDICTOR: forces at n, integrate to n* with dt/2
+        f1 = compute_forces(fw, grid, state, aux, dt=dt, chunk_cells=chunk_cells)
+        half = euler_step(fw, state, f1, dt * 0.5, step=1)
+
+        # CORRECTOR: forces at n*, integrate n -> n+1 with dt
+        f2 = compute_forces(fw, grid, half, aux, dt=dt, chunk_cells=chunk_cells)
+        new_state = euler_step(fw, state, f2, dt, step=2, full_dt=dt)
+
+        new_dt = compute_dt(fw, f2) if adaptive else dt
+        return (new_state, new_dt, t + dt, aux), (f2.max_accel, f2.max_sspeed)
+
+    def chunk(state: ParticleState, dt, t, iters):
+        state, aux = build_cells(grid, state)
+        (state, dt, t, _), (max_acc, max_ss) = jax.lax.scan(
+            pc_step, (state, dt, t, aux), iters + jnp.arange(nsteps)
+        )
+        stats = StepStats(
+            max_occupancy=aux.max_occupancy,
+            n_active=aux.n_active,
+            dt=dt,
+            max_accel=max_acc[-1],
+            max_sspeed=max_ss[-1],
+        )
+        return state, dt, t, iters + nsteps, stats
+
+    return jax.jit(chunk, donate_argnums=(0,))
+
+
+@dataclasses.dataclass
+class Simulator:
+    """Host-side driver around the jitted chunk — the remaining sliver of the
+    reference's GPUSPH manager (`src/GPUSPH.cc:721-860`): write scheduling,
+    termination, dt sanity, perf counters (MIPPS)."""
+
+    fw: SimFramework
+    grid: CellGrid
+    chunk_cells: int = 32
+
+    def __post_init__(self):
+        self.fw = self.fw.finalize()
+        self._chunk = make_sim_chunk(self.fw, self.grid, chunk_cells=self.chunk_cells)
+        self.iterations = 0
+        self.t = 0.0
+        self.dt = self.fw.sp.dt
+        self.particle_steps = 0
+        self.elapsed = 0.0
+
+    def initial_dt(self, state: ParticleState):
+        """Initial dt: 0.1 h/c0 like the reference default when dt not set."""
+        sp, pp = self.fw.sp, self.fw.pp
+        if sp.dt > 0:
+            return sp.dt
+        c0max = max(f.c0 for f in pp.fluids)
+        return 0.1 * sp.slength / c0max
+
+    def run(
+        self,
+        state: ParticleState,
+        *,
+        tend: Optional[float] = None,
+        maxiter: Optional[int] = None,
+        on_write: Optional[Callable] = None,
+        write_every: float = 0.0,
+    ) -> ParticleState:
+        """Run until tend/maxiter, invoking ``on_write(sim, state)`` at the
+        write cadence (the doWrite path, `src/GPUSPH.cc:1573`)."""
+        sp = self.fw.sp
+        tend = sp.tend if tend is None else tend
+        maxiter = sp.maxiter if maxiter is None else maxiter
+        dt = jnp.float32(self.dt if self.dt else self.initial_dt(state))
+
+        t = jnp.float32(self.t)
+        iters = jnp.int32(self.iterations)
+        next_write = self.t + write_every if write_every > 0 else float("inf")
+
+        if on_write is not None:
+            on_write(self, state)
+
+        while True:
+            t0 = time.perf_counter()
+            state, dt, t, iters, stats = self._chunk(state, dt, t, iters)
+            stats = jax.device_get(stats)
+            self.elapsed += time.perf_counter() - t0
+
+            self._check(stats)
+            self.iterations = int(iters)
+            self.t = float(t)
+            self.dt = float(stats.dt)
+            self.particle_steps += int(stats.n_active) * self.fw.sp.buildneibsfreq
+
+            if self.t >= next_write and on_write is not None:
+                on_write(self, state)
+                next_write += write_every
+
+            if tend and self.t >= tend:
+                break
+            if maxiter and self.iterations >= maxiter:
+                break
+
+        if on_write is not None:
+            on_write(self, state)
+        return state
+
+    def _check(self, stats: StepStats):
+        if int(stats.max_occupancy) > self.fw.sp.max_parts_per_cell:
+            raise CellOverflowError(
+                f"cell occupancy {int(stats.max_occupancy)} exceeds "
+                f"max_parts_per_cell={self.fw.sp.max_parts_per_cell}; "
+                "raise SimParams.max_parts_per_cell"
+            )
+        if not (float(stats.dt) > 1e-10):
+            raise DtZeroException(f"timestep underflow: dt={float(stats.dt)}")
+
+    @property
+    def mipps(self) -> float:
+        """Million particle-iterations per second (reference `src/timing.h:103-170`)."""
+        if self.elapsed == 0:
+            return 0.0
+        return self.particle_steps / self.elapsed / 1e6
+
+
+__all__ = ["Simulator", "make_sim_chunk", "StepStats", "DtZeroException", "CellOverflowError"]

@@ -1,0 +1,91 @@
+"""Integration engine: the Euler update of the predictor-corrector scheme.
+
+TPU-native equivalent of ``eulerDevice`` (`src/cuda/euler_kernel.def:395-540`)
+and the corrected-velocity logic (`compute_corrected_velocity`, same file).
+
+Scheme (reference `src/integrators/PredictorCorrectorIntegrator.cc:44-69`):
+
+* predictor (step 1): from state n with forces(n), dt_eff = dt/2,
+  ``velc = vel(n)`` — produces state n*
+* corrector (step 2): from state n with forces(n*), dt_eff = dt,
+  ``velc = vel(n) + forces(n*) * dt/2`` — produces state n+1
+
+Both steps read the *same* base state n; only the forces differ.  With XSPH
+the mean-velocity correction is added to ``velc``.
+
+Type behavior (euler_kernel.def:416-520): fluid particles integrate
+pos/vel/rho; boundary particles are static except: DYN boundaries integrate
+density; moving-body particles follow the rigid-body motion (handled by the
+bodies subsystem, which rewrites their pos/vel afterwards).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..defs import BoundaryType, ParticleType
+from ..framework import SimFramework
+from ..state import ParticleState, part_type
+from .forces import ForcesOut
+
+
+def euler_step(
+    fw: SimFramework,
+    state_n: ParticleState,
+    forces: ForcesOut,
+    dt_eff,
+    *,
+    step: int,
+    full_dt=None,
+) -> ParticleState:
+    """One Euler update producing state n* (step=1) or n+1 (step=2)."""
+    ptype = part_type(state_n.info)
+    is_fluid = ptype == ParticleType.FLUID
+    is_bound = ptype == ParticleType.BOUNDARY
+
+    dt_eff = jnp.asarray(dt_eff, jnp.float32)
+
+    # corrected velocity (compute_corrected_velocity, euler_kernel.def)
+    velc = state_n.vel
+    if step == 2:
+        half = jnp.asarray(full_dt, jnp.float32) * 0.5
+        velc = velc + forces.DvDt * half
+    if fw.has_xsph:
+        velc = velc + fw.pp.epsxsph * forces.xsph
+
+    new_pos = jnp.where(
+        is_fluid[:, None], state_n.pos + velc * dt_eff, state_n.pos
+    )
+    new_vel = jnp.where(
+        is_fluid[:, None], state_n.vel + forces.DvDt * dt_eff, state_n.vel
+    )
+
+    rho_mask = is_fluid
+    if fw.boundarytype in (BoundaryType.DYN_BOUNDARY, BoundaryType.SA_BOUNDARY):
+        rho_mask = rho_mask | is_bound
+    new_rho = jnp.where(rho_mask, state_n.rho + forces.DrDt * dt_eff, state_n.rho)
+
+    extras = dict(state_n.extras)
+    # internal energy / k-epsilon integration hook (euler_kernel.def:182-230)
+    # handled by the respective subsystem modules when enabled.
+
+    return state_n.replace(pos=new_pos, vel=new_vel, rho=new_rho, extras=extras)
+
+
+def compute_dt(fw: SimFramework, forces: ForcesOut):
+    """Adaptive dt from the CFL maxima — ``dtreduce`` (`forces.cu:557-600`).
+
+    dt = dtadaptfactor * min( sqrt(h/max|a|), h/max_c ), further bounded by
+    the viscous condition 0.125 h^2 / nu_max.
+    """
+    sp = fw.sp
+    h = jnp.float32(sp.slength)
+    dt_force = jnp.sqrt(h / jnp.maximum(forces.max_accel, 1e-12))
+    dt_sound = h / jnp.maximum(forces.max_sspeed, 1e-12)
+    dt = sp.dtadaptfactor * jnp.minimum(dt_force, dt_sound)
+    if not fw.is_inviscid:
+        dt_visc = 0.125 * h * h / jnp.maximum(forces.max_kinvisc, 1e-12)
+        dt = jnp.minimum(dt, dt_visc)
+    return dt
+
+
+__all__ = ["euler_step", "compute_dt"]

@@ -1,0 +1,167 @@
+"""Brute-force O(N^2) numpy implementation of the SPH formulas.
+
+An *independent* direct implementation of the WCSPH equations (as documented
+in the GPUSPH papers and mirrored by the engine), used to validate the
+cell-binned TPU path.  Everything here is straight double-precision numpy
+with explicit loops over all pairs — slow, simple, trustworthy.
+"""
+import numpy as np
+
+# --- kernels ----------------------------------------------------------------
+
+
+def w_wendland(r, h):
+    q = r / h
+    coeff = 21.0 / (16.0 * np.pi * h**3)
+    return coeff * (1.0 - 0.5 * q) ** 4 * (1.0 + 2.0 * q)
+
+
+def f_wendland(r, h):
+    # (1/r) dW/dr
+    coeff = 105.0 / (128.0 * np.pi * h**5)
+    return coeff * (r / h - 2.0) ** 3
+
+
+def w_cubic(r, h):
+    q = r / h
+    coeff = 1.0 / (np.pi * h**3)
+    return coeff * np.where(
+        q < 1.0, 1.0 - 1.5 * q**2 + 0.75 * q**3, 0.25 * (2.0 - q) ** 3
+    )
+
+
+def f_cubic(r, h):
+    q = r / h
+    coeff = 3.0 / (4.0 * np.pi * h**4)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        outer = -((q - 2.0) ** 2) / r
+    return coeff * np.where(q < 1.0, (3.0 * q - 4.0) / h, outer)
+
+
+# --- EOS --------------------------------------------------------------------
+
+
+def eos_pressure(rho_tilde, rho0, c0, gamma):
+    b = rho0 * c0 * c0 / gamma
+    return b * ((rho_tilde + 1.0) ** gamma - 1.0)
+
+
+def eos_sspeed(rho_tilde, c0, gamma):
+    return c0 * (rho_tilde + 1.0) ** ((gamma - 1.0) / 2.0)
+
+
+# --- brute-force forces -----------------------------------------------------
+
+
+def brute_forces(
+    pos,
+    vel,
+    rho_tilde,
+    mass,
+    ptype,  # 0 fluid, 1 boundary
+    *,
+    h,
+    rho0,
+    c0,
+    gamma,
+    gravity,
+    boundary="dyn",  # "dyn" or "lj"
+    artvisc_alpha=0.3,
+    epsartvisc=None,
+    kinvisc=0.0,
+    visc_avgop="arithmetic",
+    lj_d=0.0,
+    lj_r0=0.0,
+    lj_p1=12.0,
+    lj_p2=6.0,
+    colagrossi_xi=0.0,
+    radius_factor=2.0,
+):
+    """Direct pairwise sums. Returns (DvDt [N,3], DrDt_tilde [N])."""
+    N = pos.shape[0]
+    pos = np.asarray(pos, np.float64)
+    vel = np.asarray(vel, np.float64)
+    rho_tilde = np.asarray(rho_tilde, np.float64)
+    mass = np.asarray(mass, np.float64)
+    rad = radius_factor * h
+    if epsartvisc is None:
+        epsartvisc = 0.01 * h * h
+
+    rho = (rho_tilde + 1.0) * rho0
+    press = eos_pressure(rho_tilde, rho0, c0, gamma)
+    sspeed = eos_sspeed(rho_tilde, c0, gamma)
+
+    DvDt = np.zeros((N, 3))
+    DrDt = np.zeros(N)
+
+    for i in range(N):
+        for j in range(N):
+            if i == j:
+                continue
+            rel = pos[i] - pos[j]
+            r = np.linalg.norm(rel)
+            if r >= rad:
+                continue
+            relv = vel[i] - vel[j]
+            vdp = np.dot(relv, rel)
+            F = f_wendland(r, h)
+
+            i_fluid = ptype[i] == 0
+            j_fluid = ptype[j] == 0
+
+            # continuity
+            if boundary == "dyn":
+                cont = True
+            else:
+                cont = i_fluid and j_fluid
+            if cont:
+                DrDt[i] += mass[j] * vdp * F
+
+            if not i_fluid:
+                continue
+
+            if j_fluid or boundary == "dyn":
+                # pressure gradient (F1 symmetric)
+                pg = press[i] / rho[i] ** 2 + press[j] / rho[j] ** 2
+                DvDt[i] -= pg * mass[j] * F * rel
+                # artificial viscosity
+                if artvisc_alpha > 0 and vdp < 0:
+                    av = (
+                        vdp
+                        * h
+                        * artvisc_alpha
+                        * (sspeed[i] + sspeed[j])
+                        / ((r * r + epsartvisc) * (rho[i] + rho[j]))
+                    )
+                    DvDt[i] += av * mass[j] * F * rel
+                # laminar Morris
+                if kinvisc > 0:
+                    mu_i = kinvisc * rho[i]
+                    mu_j = kinvisc * rho[j]
+                    if visc_avgop == "arithmetic":
+                        mu = 0.5 * (mu_i + mu_j)
+                    elif visc_avgop == "harmonic":
+                        mu = 2 * mu_i * mu_j / (mu_i + mu_j)
+                    else:
+                        mu = np.sqrt(mu_i * mu_j)
+                    DvDt[i] += 2.0 * mu * mass[j] / (rho[i] * rho[j]) * F * relv
+                # Molteni & Colagrossi density diffusion
+                if colagrossi_xi > 0 and j_fluid and i_fluid:
+                    if abs(press[i] - press[j]) >= abs(
+                        np.dot(gravity, rel) * rho[i]
+                    ):
+                        coeff = colagrossi_xi * 2.0 * h * c0
+                        DrDt[i] -= coeff * (rho[j] / rho[i] - 1.0) * F * mass[j]
+            elif boundary == "lj":
+                if r < lj_r0:
+                    f = (
+                        lj_d
+                        * ((lj_r0 / r) ** lj_p1 - (lj_r0 / r) ** lj_p2)
+                        / (r * r)
+                    )
+                    DvDt[i] += f * rel
+
+    fluid = ptype == 0
+    DvDt[fluid] += np.asarray(gravity)
+    DvDt[~fluid] = 0.0
+    return DvDt, DrDt / rho0
