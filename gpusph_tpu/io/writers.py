@@ -1,0 +1,150 @@
+"""Writer dispatcher + text/common writers.
+
+TPU-native counterpart of the reference's Writer registry
+(`src/Writer.h:139-220`) and CommonWriter scalar time series
+(`src/writers/CommonWriter.cc:53-170`): energy.txt (kinetic/potential/
+internal per fluid), WaveGage.txt, and plain-text particle dumps
+(`src/writers/TextWriter.cc`).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..framework import SimFramework
+from ..ops import eos
+from ..state import ParticleState, fluid_num, is_fluid, part_type
+from .vtk import VTKWriter
+
+
+def state_arrays(fw: SimFramework, state: ParticleState) -> Dict[str, np.ndarray]:
+    """Gather the active particles' writable fields on the host."""
+    act = np.asarray(state.active)
+    f_num = fluid_num(state.info)
+    press = eos.pressure(fw.pp, state.rho, f_num)
+    rho_phys = eos.physical_density(fw.pp, state.rho, f_num)
+    return {
+        "pos": np.asarray(state.pos)[act],
+        "Velocity": np.asarray(state.vel)[act],
+        "Pressure": np.asarray(press)[act],
+        "Density": np.asarray(rho_phys)[act],
+        "Mass": np.asarray(state.mass)[act],
+        "Info": np.asarray(state.info)[act],
+        "Id": np.asarray(state.id)[act],
+    }
+
+
+class TextWriter:
+    """Plain-text particle dump (reference `src/writers/TextWriter.cc`)."""
+
+    def __init__(self, outdir: str, prefix: str = "PART"):
+        self.outdir = outdir
+        self.prefix = prefix
+        os.makedirs(outdir, exist_ok=True)
+        self._index = 0
+
+    def write(self, time: float, arrays: Dict[str, np.ndarray]) -> str:
+        path = os.path.join(self.outdir, f"{self.prefix}_{self._index:05d}.txt")
+        pos = arrays["pos"]
+        vel = arrays["Velocity"]
+        press = arrays["Pressure"]
+        rho = arrays["Density"]
+        info = arrays["Info"]
+        with open(path, "w") as f:
+            f.write("# x y z vx vy vz rho p type\n")
+            for i in range(len(pos)):
+                f.write(
+                    f"{pos[i,0]:.9g} {pos[i,1]:.9g} {pos[i,2]:.9g} "
+                    f"{vel[i,0]:.9g} {vel[i,1]:.9g} {vel[i,2]:.9g} "
+                    f"{rho[i]:.9g} {press[i]:.9g} {int(info[i]) & 7}\n"
+                )
+        self._index += 1
+        return path
+
+
+class CommonWriter:
+    """Always-on scalar time series (reference `CommonWriter.cc:53-170`)."""
+
+    def __init__(self, outdir: str, fw: SimFramework, gages=()):
+        self.outdir = outdir
+        os.makedirs(outdir, exist_ok=True)
+        self.fw = fw
+        self.gages = list(gages)
+        self._energy = open(os.path.join(outdir, "energy.txt"), "w")
+        self._energy.write("# time kinetic potential internal\n")
+        if self.gages:
+            self._gage = open(os.path.join(outdir, "WaveGage.txt"), "w")
+            self._gage.write("# time " + " ".join(f"z{i}" for i in range(len(self.gages))) + "\n")
+        else:
+            self._gage = None
+
+    def write(self, time: float, state: ParticleState):
+        import jax.numpy as jnp
+
+        fluid = is_fluid(state.info) & state.active
+        m = jnp.where(fluid, state.mass, 0.0)
+        v2 = jnp.sum(state.vel * state.vel, axis=1)
+        ekin = 0.5 * jnp.sum(m * v2)
+        g = np.asarray(self.fw.pp.gravity)
+        epot = -jnp.sum(m * (state.pos @ jnp.asarray(g, jnp.float32)))
+        self._energy.write(f"{time:.9g}\t{float(ekin):.9g}\t{float(epot):.9g}\t0\n")
+        self._energy.flush()
+
+        if self._gage is not None:
+            # gage height: max z of fluid particles within half a cell of (x,y)
+            pos = np.asarray(state.pos)[np.asarray(fluid)]
+            r = 2 * self.fw.sp.slength
+            heights = []
+            for (gx, gy) in self.gages:
+                near = (np.abs(pos[:, 0] - gx) < r) & (np.abs(pos[:, 1] - gy) < r)
+                heights.append(pos[near, 2].max() if near.any() else 0.0)
+            self._gage.write(
+                f"{time:.9g}\t" + "\t".join(f"{h:.9g}" for h in heights) + "\n"
+            )
+            self._gage.flush()
+
+    def close(self):
+        self._energy.close()
+        if self._gage:
+            self._gage.close()
+
+
+class WriterDispatcher:
+    """Static multi-writer registry with per-writer frequencies
+    (reference `Writer::Write/StartWriting/MarkWritten`)."""
+
+    def __init__(self, outdir: str, fw: SimFramework, *, vtk_every=0.0,
+                 text_every=0.0, hot_every=0.0, keep_hot=3, gages=()):
+        self.fw = fw
+        self.outdir = outdir
+        os.makedirs(outdir, exist_ok=True)
+        self.writers = []
+        if vtk_every > 0:
+            self.writers.append((VTKWriter(os.path.join(outdir, "data")), vtk_every, [0.0]))
+        if text_every > 0:
+            self.writers.append((TextWriter(os.path.join(outdir, "data")), text_every, [0.0]))
+        self.common = CommonWriter(outdir, fw, gages=gages)
+        from .hotfile import HotWriter
+
+        self.hot = HotWriter(outdir, keep=keep_hot) if hot_every > 0 else None
+        self.hot_every = hot_every
+        self._next_hot = hot_every
+
+    def maybe_write(self, time: float, state: ParticleState, *, dt=0.0, iterations=0,
+                    force=False):
+        arrays = None
+        for writer, every, next_t in self.writers:
+            if force or time + 1e-12 >= next_t[0]:
+                if arrays is None:
+                    arrays = state_arrays(self.fw, state)
+                writer.write(time, arrays)
+                next_t[0] = time + every
+        self.common.write(time, state)
+        if self.hot and (force or time + 1e-12 >= self._next_hot):
+            self.hot.write(state, t=time, dt=dt, iterations=iterations)
+            self._next_hot = time + self.hot_every
+
+
+__all__ = ["TextWriter", "CommonWriter", "WriterDispatcher", "state_arrays"]

@@ -21,12 +21,10 @@ def _per_fluid(pp: PhysParams, fluid_num, values):
     With a single fluid this folds to a constant; with few fluids it becomes
     a short select chain — cheap on the VPU and trivially fusable.
     """
-    out = jnp.asarray(values[0], dtype=jnp.float32)
-    if len(values) == 1:
-        return out
-    out = jnp.full_like(jnp.asarray(fluid_num, jnp.float32), values[0])
+    shape = jnp.shape(fluid_num)
+    out = jnp.broadcast_to(jnp.float32(values[0]), shape)
     for i in range(1, len(values)):
-        out = jnp.where(fluid_num == i, values[i], out)
+        out = jnp.where(fluid_num == i, jnp.float32(values[i]), out)
     return out
 
 

@@ -155,7 +155,9 @@ class SimParams:
     neibboundpos: int = 255
     # max particles per cell in the TPU binned-cell neighbor structure;
     # the analogue of the reference's neighbor-list capacity (CHECK_NEIBSNUM).
-    max_parts_per_cell: int = 32
+    # Bulk cells hold ~(cellsize/dp)^3 ~= 18-21 particles; wall corners with
+    # stacked dynamic-boundary layers can reach the low 40s.
+    max_parts_per_cell: int = 48
 
     # periodicity
     periodicbound: Periodicity = Periodicity.NONE

@@ -1,0 +1,436 @@
+"""Problem API: declarative scene construction.
+
+TPU-native re-design of the reference's user-facing problem layer:
+``ProblemCore`` (`src/ProblemCore.h:522-682`) + the declarative geometry API
+``ProblemAPI<1>`` (`src/problem_api/ProblemAPI_1.h:49-307`).  A Problem
+subclass configures the framework in ``__init__`` (the SETUP_FRAMEWORK
+analogue is :func:`gpusph_tpu.framework.setup_framework`), declares geometry
+with ``add_box/add_sphere/...`` and then ``build()`` produces the
+(grid, initial ParticleState) pair — the equivalent of the reference's
+``fill_parts`` + ``copy_to_array`` (`src/GPUSPH.cc:252,397`).
+
+Problems are selected at run time by name from the registry (the reference
+selects at compile time via `problem_spec`, `src/problem_spec.h:36-42`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..defs import ParticleType, Periodicity
+from ..framework import SimFramework, setup_framework
+from ..geometry import primitives as geo
+from ..ops import eos
+from ..ops.neighbors import CellGrid, make_grid
+from ..params import Fluid, PhysParams, SimParams
+from ..state import (
+    FG_COMPUTE_FORCE,
+    FG_MOVING_BOUNDARY,
+    ParticleState,
+    empty_state,
+)
+
+
+class GeometryType(enum.IntEnum):
+    """Reference `src/problem_api/ProblemAPI_1.h:49-63`."""
+
+    FLUID = 0
+    FIXED_BOUNDARY = 1
+    OPENBOUNDARY = 2
+    FLOATING_BODY = 3
+    MOVING_BODY = 4
+    PLANE = 5
+    DEM = 6
+    TESTPOINT = 7
+
+
+class FillType(enum.IntEnum):
+    """Reference `src/problem_api/ProblemAPI_1.h:64-70`."""
+
+    NOFILL = 0
+    SOLID = 1
+    BORDER = 2
+
+
+@dataclasses.dataclass
+class Geometry:
+    """One placed geometry (reference's GeometryInfo)."""
+
+    gtype: GeometryType
+    points: np.ndarray  # [n,3] float64 particle positions
+    fluid_idx: int = 0
+    object_idx: int = 0
+    mass: Optional[float] = None  # per-particle mass override
+    density: Optional[float] = None
+    velocity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    feedback: bool = False  # enableFeedback: accumulate forces on this body
+
+
+@dataclasses.dataclass
+class Plane:
+    """Geometric plane boundary (reference `src/planes.h`)."""
+
+    point: Tuple[float, float, float]
+    normal: Tuple[float, float, float]
+
+
+PROBLEM_REGISTRY: Dict[str, type] = {}
+
+
+class Problem:
+    """Base class for user problems (reference `ProblemCore`/`XProblem`)."""
+
+    name = "Problem"
+
+    def __init__(self, options: Optional[dict] = None):
+        self.options = dict(options or {})
+        self.geometries: List[Geometry] = []
+        self.planes: List[Plane] = []
+        self.testpoints: List[Tuple[float, float, float]] = []
+        self.gages: List[Tuple[float, float]] = []  # (x, y) wave gage positions
+        self.origin = (0.0, 0.0, 0.0)
+        self.size = (1.0, 1.0, 1.0)
+        self.deltap = 0.0
+        self.fw: SimFramework = SimFramework()
+        self.water_level: Optional[float] = None  # hydrostatic init level
+        self.max_fall: Optional[float] = None
+        self.dyn_layers = 3
+        self._moving_body_count = 0
+        self.vtk_write_every = 0.0
+        self.body_motion: Dict[int, Callable] = {}  # object_idx -> motion cb
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        PROBLEM_REGISTRY[cls.__name__] = cls
+
+    # --- options (reference `src/Options.h:125-165`) -----------------------
+    def get_option(self, name: str, default):
+        v = self.options.get(name, default)
+        if isinstance(default, bool) and isinstance(v, str):
+            return v.lower() in ("1", "true", "yes", "on")
+        if default is not None and not isinstance(v, type(default)):
+            try:
+                return type(default)(v)
+            except (TypeError, ValueError):
+                return v
+        return v
+
+    # --- framework setup ---------------------------------------------------
+    def setup_framework(self, **kwargs):
+        """SETUP_FRAMEWORK analogue (reference `src/ProblemCore.h:117`)."""
+        self.fw = setup_framework(**kwargs)
+        return self.fw
+
+    def simparams(self) -> SimParams:
+        return self.fw.simparams
+
+    def physparams(self) -> PhysParams:
+        return self.fw.physparams
+
+    def _update_sp(self, **kw):
+        self.fw = dataclasses.replace(
+            self.fw, simparams=dataclasses.replace(self.fw.simparams, **kw)
+        )
+
+    def _update_pp(self, **kw):
+        self.fw = dataclasses.replace(
+            self.fw, physparams=dataclasses.replace(self.fw.physparams, **kw)
+        )
+
+    def set_deltap(self, dp: float):
+        self.deltap = dp
+        self._update_sp(deltap=dp)
+
+    def set_smoothing(self, sfactor: float):
+        self._update_sp(sfactor=sfactor)
+
+    def set_timestep(self, dt: float):
+        self._update_sp(dt=dt)
+
+    def set_tend(self, tend: float):
+        self._update_sp(tend=tend)
+
+    def set_gravity(self, gz_or_vec):
+        g = (0.0, 0.0, float(gz_or_vec)) if not isinstance(gz_or_vec, (tuple, list)) else tuple(gz_or_vec)
+        self._update_pp(gravity=g)
+
+    def get_gravity_magnitude(self) -> float:
+        return float(np.linalg.norm(self.fw.pp.gravity))
+
+    def set_max_fall(self, h: float):
+        self.max_fall = h
+
+    def set_water_level(self, level: float):
+        self.water_level = level
+
+    def add_fluid(self, rho0: float):
+        """Append a fluid (reference `ProblemCore::add_fluid`)."""
+        fluids = self.fw.pp.fluids
+        if len(fluids) == 1 and fluids[0] == Fluid():
+            new = (Fluid(rho0=rho0),)
+        else:
+            new = fluids + (Fluid(rho0=rho0),)
+        self._update_pp(fluids=new)
+        return len(new) - 1
+
+    def set_equation_of_state(self, fluid_idx: int, gamma: float, c0: float):
+        """c0 <= 0 means: derive from max fall height as 10*sqrt(2 g H)
+        (reference `ProblemCore::set_equation_of_state`)."""
+        if c0 <= 0:
+            if self.max_fall is None:
+                raise ValueError("set_max_fall before auto sound speed")
+            c0 = 10.0 * math.sqrt(2 * self.get_gravity_magnitude() * self.max_fall)
+        f = dataclasses.replace(self.fw.pp.fluids[fluid_idx], gamma=gamma, c0=c0)
+        self._update_pp(fluids=_tset(self.fw.pp.fluids, fluid_idx, f))
+
+    def set_kinematic_visc(self, fluid_idx: int, nu: float):
+        f = dataclasses.replace(self.fw.pp.fluids[fluid_idx], kinematic_visc=nu)
+        self._update_pp(fluids=_tset(self.fw.pp.fluids, fluid_idx, f))
+
+    def set_dynamic_visc(self, fluid_idx: int, mu: float):
+        fl = self.fw.pp.fluids[fluid_idx]
+        self.set_kinematic_visc(fluid_idx, mu / fl.rho0)
+
+    def set_artificial_visc(self, alpha: float):
+        self._update_pp(artvisccoeff=alpha)
+
+    def set_dynamic_boundaries_layers(self, n: int):
+        self.dyn_layers = n
+
+    def get_dynamic_boundaries_layers(self) -> int:
+        return self.dyn_layers
+
+    def add_writer(self, _writer_type=None, freq: float = 0.0):
+        self.vtk_write_every = freq
+
+    def add_gage(self, x: float, y: float):
+        self.gages.append((x, y))
+
+    # --- geometry ----------------------------------------------------------
+    def make_universe_box(self, origin, size):
+        self.origin = tuple(float(x) for x in origin)
+        self.size = tuple(float(x) for x in size)
+
+    def _add(self, g: Geometry):
+        self.geometries.append(g)
+        return len(self.geometries) - 1
+
+    def add_box(self, gtype: GeometryType, fill: FillType, origin, sx, sy, sz, **kw):
+        dp = self.deltap
+        if fill == FillType.SOLID:
+            pts = geo.fill_box(origin, (sx, sy, sz), dp)
+        elif fill == FillType.BORDER:
+            layers = self.dyn_layers if self.fw.dyn_boundary else 1
+            pts = geo.fill_box_border(origin, (sx, sy, sz), dp, layers=layers, **{
+                k: v for k, v in kw.items() if k == "open_top"})
+            kw.pop("open_top", None)
+        else:
+            pts = np.zeros((0, 3))
+        return self._add(Geometry(gtype, pts, **kw))
+
+    def add_sphere(self, gtype, fill, center, radius, **kw):
+        solid = fill == FillType.SOLID
+        layers = self.dyn_layers if (self.fw.dyn_boundary and not solid) else 1
+        pts = geo.fill_sphere(center, radius, self.deltap, solid=solid, layers=layers)
+        return self._add(Geometry(gtype, pts, **kw))
+
+    def add_cylinder(self, gtype, fill, center_base, radius, height, **kw):
+        solid = fill == FillType.SOLID
+        layers = self.dyn_layers if (self.fw.dyn_boundary and not solid) else 1
+        pts = geo.fill_cylinder(
+            center_base, radius, height, self.deltap, solid=solid, layers=layers
+        )
+        return self._add(Geometry(gtype, pts, **kw))
+
+    def add_points(self, gtype, pts: np.ndarray, **kw):
+        """Raw particle positions (the XYZFile/HDF5File reader analogue)."""
+        return self._add(Geometry(gtype, np.asarray(pts, np.float64), **kw))
+
+    def add_plane(self, point, normal):
+        self.planes.append(Plane(tuple(point), tuple(normal)))
+
+    def add_testpoint(self, p):
+        self.testpoints.append(tuple(p))
+
+    def rotate(self, geom_id: int, rx: float, ry: float, rz: float, center=None):
+        """Rotate a geometry (only z-rotation supported for now, like the
+        DamBreak3D obstacle)."""
+        g = self.geometries[geom_id]
+        if center is None:
+            center = g.points.min(axis=0)
+        if rx or ry:
+            raise NotImplementedError("only z-axis rotation implemented")
+        g.points = geo.rotate_z(g.points, center, rz)
+
+    def enable_feedback(self, geom_id: int):
+        self.geometries[geom_id].feedback = True
+
+    def erase_fluid_inside(self, predicate):
+        for g in self.geometries:
+            if g.gtype == GeometryType.FLUID:
+                g.points = geo.erase_inside(g.points, predicate)
+
+    # --- initial conditions -----------------------------------------------
+    def _hydrostatic_filling(self) -> bool:
+        """Hydrostatic density filling applies with a single fluid and purely
+        vertical gravity (reference `ProblemAPI_1.cc:331-344`)."""
+        g = self.fw.pp.gravity
+        return (
+            self.fw.pp.num_fluids == 1 and g[0] == 0.0 and g[1] == 0.0 and g[2] != 0.0
+        )
+
+    def initial_density(self, pts: np.ndarray, fluid_idx: int) -> np.ndarray:
+        """Relative density at particle positions: hydrostatic below the water
+        level (auto-computed from the highest fluid particle when unset,
+        reference `ProblemAPI_1.cc:308-311,1770-1791`)."""
+        if self.water_level is None or not self._hydrostatic_filling():
+            return np.zeros(len(pts))
+        depth = np.maximum(0.0, self.water_level - pts[:, 2])
+        rt = eos.hydrostatic_density(self.fw.pp, jnp.asarray(depth, jnp.float32), fluid_idx)
+        return np.asarray(rt, np.float64)
+
+    # --- build -------------------------------------------------------------
+    def num_particles(self) -> int:
+        return sum(len(g.points) for g in self.geometries)
+
+    def build(self, capacity: Optional[int] = None) -> Tuple[CellGrid, ParticleState]:
+        """Assemble grid + initial particle state (fill_parts + copy_to_array)."""
+        self.fw = self.fw.finalize()
+        dp = self.deltap
+        if dp <= 0:
+            raise ValueError("set_deltap first")
+
+        # auto LJ dcoeff from max fall height (reference ProblemCore defaults)
+        if self.fw.repulsive_boundary and self.fw.pp.dcoeff == 0.0:
+            H = self.max_fall or self.size[2]
+            self._update_pp(dcoeff=5.0 * self.get_gravity_magnitude() * H)
+            self.fw = self.fw.finalize()
+
+        grid = make_grid(
+            self.origin, self.size, self.fw.influenceradius,
+            periodic=self.fw.periodicbound,
+        )
+
+        # auto water level: highest fluid particle (ProblemAPI_1.cc:308-311)
+        if self.water_level is None and self._hydrostatic_filling():
+            zs = [
+                g.points[:, 2].max()
+                for g in self.geometries
+                if g.gtype == GeometryType.FLUID and len(g.points)
+            ]
+            if zs:
+                self.water_level = float(max(zs)) + self.deltap / 2
+
+        pos_list, vel_list, rho_list, mass_list, info_list = [], [], [], [], []
+        obj_idx = 0
+        for g in self.geometries:
+            n = len(g.points)
+            if n == 0:
+                continue
+            pts = g.points
+            if g.gtype == GeometryType.FLUID:
+                ptype = ParticleType.FLUID
+                flags = 0
+                fluid_or_obj = g.fluid_idx
+            elif g.gtype in (GeometryType.FIXED_BOUNDARY, GeometryType.OPENBOUNDARY):
+                ptype = ParticleType.BOUNDARY
+                flags = 0
+                fluid_or_obj = g.fluid_idx
+            elif g.gtype in (GeometryType.MOVING_BODY, GeometryType.FLOATING_BODY):
+                ptype = ParticleType.BOUNDARY
+                obj_idx += 1
+                g.object_idx = obj_idx
+                flags = FG_MOVING_BOUNDARY | (FG_COMPUTE_FORCE if g.feedback else 0)
+                fluid_or_obj = obj_idx
+            elif g.gtype == GeometryType.TESTPOINT:
+                ptype = ParticleType.TESTPOINT
+                flags = 0
+                fluid_or_obj = 0
+            else:
+                continue
+
+            rho0 = (
+                g.density
+                if g.density is not None
+                else self.fw.pp.fluids[g.fluid_idx].rho0
+            )
+            mass = g.mass if g.mass is not None else rho0 * dp**3
+            if ptype == ParticleType.FLUID or (
+                ptype == ParticleType.BOUNDARY and self.fw.dyn_boundary
+            ):
+                # DYN boundaries are hydrostatically filled too
+                # (reference ProblemAPI_1.cc:1772)
+                rho_t = self.initial_density(pts, g.fluid_idx)
+            else:
+                rho_t = np.zeros(n)
+
+            pos_list.append(pts)
+            v = np.broadcast_to(np.asarray(g.velocity, np.float64), (n, 3))
+            vel_list.append(v)
+            rho_list.append(rho_t)
+            mass_list.append(np.full(n, mass))
+            packed = (
+                np.uint32(int(ptype))
+                | np.uint32(flags)
+                | (np.uint32(fluid_or_obj & 0xFF) << 16)
+            )
+            info_list.append(np.full(n, packed, np.uint32))
+
+        n_total = sum(len(p) for p in pos_list)
+        for p in self.testpoints:
+            pos_list.append(np.asarray([p]))
+            vel_list.append(np.zeros((1, 3)))
+            rho_list.append(np.zeros(1))
+            mass_list.append(np.zeros(1))
+            info_list.append(
+                np.full(1, np.uint32(int(ParticleType.TESTPOINT)), np.uint32)
+            )
+            n_total += 1
+
+        if capacity is None:
+            capacity = n_total
+        state = empty_state(capacity)
+        pos = np.concatenate(pos_list).astype(np.float32)
+        state = state.replace(
+            pos=state.pos.at[:n_total].set(jnp.asarray(pos)),
+            vel=state.vel.at[:n_total].set(
+                jnp.asarray(np.concatenate(vel_list), jnp.float32)
+            ),
+            rho=state.rho.at[:n_total].set(
+                jnp.asarray(np.concatenate(rho_list), jnp.float32)
+            ),
+            mass=state.mass.at[:n_total].set(
+                jnp.asarray(np.concatenate(mass_list), jnp.float32)
+            ),
+            info=state.info.at[:n_total].set(jnp.asarray(np.concatenate(info_list))),
+        )
+        return grid, state
+
+
+def _tset(t: tuple, i: int, v):
+    lst = list(t)
+    lst[i] = v
+    return tuple(lst)
+
+
+def get_problem(name: str) -> type:
+    # make sure the catalog is imported
+    from . import catalog  # noqa: F401
+
+    return PROBLEM_REGISTRY[name]
+
+
+__all__ = [
+    "Problem",
+    "Geometry",
+    "GeometryType",
+    "FillType",
+    "Plane",
+    "PROBLEM_REGISTRY",
+    "get_problem",
+]

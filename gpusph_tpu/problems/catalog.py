@@ -1,0 +1,306 @@
+"""Problem catalog: TPU-native re-creations of the reference's problems
+(`src/problems/`).  Each cites its reference source; parameters and geometry
+match the reference so the validation scripts' expectations carry over.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..defs import (
+    AverageOperator,
+    BoundaryType,
+    ComputationalViscosityType,
+    DensityDiffusionType,
+    FilterType,
+    KernelType,
+    Periodicity,
+    RheologyType,
+    SimFlags,
+    TurbulenceModel,
+    ViscousModel,
+)
+from ..geometry import primitives as geo
+from ..params import SimParams
+from .base import FillType, GeometryType, Problem
+
+
+class DamBreak3D(Problem):
+    """3D dam break with obstacle (reference `src/problems/DamBreak3D.cu:38-200`).
+
+    DYN boundaries (3 layers), artificial viscosity, Molteni & Colagrossi
+    density diffusion; domain 1.6 x 0.67 x 0.6 m, water column 0.4 x H=0.4 m,
+    rotated square obstacle.
+    """
+
+    name = "DamBreak3D"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        wet = self.get_option("wet", False)
+        num_obstacles = self.get_option("num_obstacles", 1)
+        rotate_obstacle = self.get_option("rotate_obstacle", True)
+        rhodiff = DensityDiffusionType(
+            self.get_option("density-diffusion", int(DensityDiffusionType.COLAGROSSI))
+        )
+        mls = self.get_option(
+            "mls", 0 if rhodiff != DensityDiffusionType.NONE else 10
+        )
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            rheology=RheologyType.INVISCID,
+            turbulence_model=TurbulenceModel.ARTIFICIAL,
+            density_diffusion=rhodiff,
+            filters=((FilterType.MLS, mls),) if mls > 0 else (),
+            simparams=SimParams(densityDiffCoeff=0.1),
+        )
+        self.set_dynamic_boundaries_layers(3)
+        self.set_deltap(self.get_option("deltap", 0.015))
+        self.set_gravity(-9.81)
+        H = 0.4
+        self.set_max_fall(H)
+        self.add_fluid(1000.0)
+        self.set_equation_of_state(0, 7.0, 20.0)
+        self.set_tend(self.get_option("tend", 1.5))
+        self.add_writer(freq=0.005)
+
+        dim = (1.6, 0.67, 0.6)
+        self.make_universe_box((0.0, 0.0, 0.0), dim)
+        dp = self.deltap
+
+        # container walls: 3 dyn-boundary layers growing inward from the faces
+        self.add_box(
+            GeometryType.FIXED_BOUNDARY, FillType.BORDER, (0, 0, 0), *dim,
+            open_top=True,
+        )
+        # water column, offset one layer-block from the walls
+        bd = dp * self.dyn_layers
+        self.add_box(
+            GeometryType.FLUID, FillType.SOLID,
+            (bd, bd, bd), 0.4 - bd, dim[1] - 2 * bd, H - bd,
+        )
+        if wet:
+            self.add_box(
+                GeometryType.FLUID, FillType.SOLID,
+                (0.4 + dp, bd, bd), dim[0] - 0.4 - bd - dp, dim[1] - 2 * bd, 0.1 - bd,
+            )
+        self.set_water_level(H)
+
+        obstacle_side = 0.12
+        y_dist = dim[1] / (num_obstacles + 1)
+        for i in range(num_obstacles):
+            base = (
+                0.9 - obstacle_side / 2,
+                y_dist * (i + 1)
+                + (obstacle_side / 2 if rotate_obstacle else 0)
+                - obstacle_side / 2,
+                0,
+            )
+            gid = self.add_box(
+                GeometryType.MOVING_BODY, FillType.BORDER,
+                base, obstacle_side, obstacle_side, dim[2],
+            )
+            if rotate_obstacle:
+                self.rotate(gid, 0, 0, math.pi / 4)
+            self.enable_feedback(gid)
+            # erase fluid overlapping the obstacle
+            self.erase_fluid_inside(
+                geo.box_predicate(base, (obstacle_side, obstacle_side, dim[2]), margin=dp / 2)
+            )
+
+        for i in range(self.get_option("num_testpoints", 3)):
+            self.add_testpoint((0.9, dim[1] / 2, 0.05 + 0.1 * i))
+
+
+class Poiseuille(Problem):
+    """Laminar Poiseuille channel flow (reference `src/problems/Poiseuille.inc:63-170`).
+
+    Periodic in x,y; DYN boundary plates top/bottom; body force along x.
+    Analytical steady profile v_x(z) = F/(2 nu) ((lz/2)^2 - z^2).
+    """
+
+    name = "Poiseuille"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        lz = ly = lx = 1.0
+        self.lz = lz
+        rho = self.get_option("density", 1.0)
+        kinvisc = self.get_option("kinvisc", 0.1)
+        driving_force = self.get_option("driving-force", 0.05)
+        ppH = self.get_option("ppH", 32)
+        compvisc = ComputationalViscosityType(
+            self.get_option("compvisc", int(ComputationalViscosityType.KINEMATIC)))
+        viscavg = AverageOperator(
+            self.get_option("viscavg", int(AverageOperator.HARMONIC)))
+        viscmodel = ViscousModel(
+            self.get_option("viscmodel", int(ViscousModel.MORRIS)))
+
+        self.kinvisc = kinvisc
+        self.driving_force = driving_force
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            rheology=RheologyType.NEWTONIAN,
+            turbulence_model=TurbulenceModel.LAMINAR_FLOW,
+            computational_visc=compvisc,
+            visc_model=viscmodel,
+            visc_average=viscavg,
+            periodicity=Periodicity.XY,
+            boundary=BoundaryType.DYN_BOUNDARY,
+        )
+        self.set_deltap(lz / ppH)
+        dp = self.deltap
+        self.set_tend(self.get_option("tend", 100.0))
+        self.set_gravity((driving_force, 0.0, 0.0))
+        fl = self.add_fluid(rho)
+        self.set_kinematic_visc(fl, kinvisc)
+
+        max_vel = self.compute_poiseuille_vel(0.0)
+        hydrostatic_vel = math.sqrt(2 * driving_force * lz)
+        c0 = 20 * max(hydrostatic_vel, max_vel)
+        self.set_equation_of_state(fl, 7.0, c0)
+
+        layers = self.dyn_layers
+        # world: channel + boundary plates; periodic wrap needs the world x/y
+        # extent to be an exact multiple of the particle lattice
+        wall = layers * dp
+        self.make_universe_box(
+            (-lx / 2, -ly / 2, -lz / 2 - wall), (lx, ly, lz + 2 * wall)
+        )
+        # plates: 'layers' thick slabs whose inner surface is at z = +-lz/2
+        self.add_points(
+            GeometryType.FIXED_BOUNDARY,
+            geo.fill_box(
+                (-lx / 2 + dp / 2, -ly / 2 + dp / 2, -lz / 2 - (layers - 1) * dp),
+                (lx - dp, ly - dp, (layers - 1) * dp),
+                dp,
+            ),
+        )
+        self.add_points(
+            GeometryType.FIXED_BOUNDARY,
+            geo.fill_box(
+                (-lx / 2 + dp / 2, -ly / 2 + dp / 2, lz / 2),
+                (lx - dp, ly - dp, (layers - 1) * dp),
+                dp,
+            ),
+        )
+        # fluid fills the channel
+        self.add_points(
+            GeometryType.FLUID,
+            geo.fill_box(
+                (-lx / 2 + dp / 2, -ly / 2 + dp / 2, -lz / 2 + dp),
+                (lx - dp, ly - dp, lz - 2 * dp),
+                dp,
+            ),
+        )
+        if self.get_option("steady-init", False):
+            self._steady_init = True
+        else:
+            self._steady_init = False
+        self.add_writer(freq=1.0)
+
+    def compute_poiseuille_vel(self, z: float) -> float:
+        """Analytical steady profile (reference Poiseuille.inc:185-210)."""
+        h2 = self.lz / 2
+        return self.driving_force / (2 * self.kinvisc) * (h2 * h2 - z * z)
+
+    def build(self, capacity=None):
+        grid, state = super().build(capacity)
+        if self._steady_init:
+            import jax.numpy as jnp
+
+            from ..state import is_fluid
+
+            vx = jnp.asarray(
+                self.driving_force
+                / (2 * self.kinvisc)
+                * ((self.lz / 2) ** 2 - np.asarray(state.pos)[:, 2] ** 2),
+                jnp.float32,
+            )
+            vel = state.vel.at[:, 0].set(jnp.where(is_fluid(state.info), vx, 0.0))
+            state = state.replace(vel=vel)
+        return grid, state
+
+
+class StillWater(Problem):
+    """Hydrostatic water column (reference `src/problems/StillWater.cu` /
+    `LithostaticDYN.cu` + `Lithostatic.inc`): box of still water; the
+    steady-state density profile must match the analytic hydrostatic solution
+    (validated by `scripts/validate-lithostatic.py`)."""
+
+    name = "StillWater"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        H = self.get_option("water_height", 0.5)
+        l = self.get_option("side", 0.5)
+        ppH = self.get_option("ppH", 32)
+        rhodiff = DensityDiffusionType(
+            self.get_option("density-diffusion", int(DensityDiffusionType.COLAGROSSI)))
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            rheology=RheologyType.NEWTONIAN,
+            turbulence_model=TurbulenceModel.LAMINAR_FLOW,
+            visc_average=AverageOperator.HARMONIC,
+            density_diffusion=rhodiff,
+            simparams=SimParams(densityDiffCoeff=0.1),
+        )
+        self.set_deltap(H / ppH)
+        dp = self.deltap
+        self.set_gravity(-9.81)
+        self.set_max_fall(H)
+        fl = self.add_fluid(1000.0)
+        self.set_kinematic_visc(fl, 1.0e-6)
+        self.set_equation_of_state(fl, 7.0, 10 * math.sqrt(9.81 * H))
+        self.set_tend(self.get_option("tend", 5.0))
+
+        layers = self.dyn_layers
+        wall = layers * dp
+        box = (l + 2 * wall, l + 2 * wall, H + wall + 4 * dp)
+        self.make_universe_box((-wall, -wall, -wall), box)
+        # tank: walls + floor (open top)
+        self.add_points(
+            GeometryType.FIXED_BOUNDARY,
+            _tank_points((0, 0, 0), (l, l, box[2]), dp, layers),
+        )
+        self.add_box(
+            GeometryType.FLUID, FillType.SOLID,
+            (dp, dp, dp), l - 2 * dp, l - 2 * dp, H - dp,
+        )
+        self.set_water_level(H)
+        self.add_writer(freq=0.1)
+
+
+def _tank_points(origin, inner_size, dp, layers):
+    """Open-top tank: floor + 4 walls, ``layers`` thick, inner surface at the
+    given box; layers grow outward (away from the fluid)."""
+    o = np.asarray(origin, np.float64)
+    s = np.asarray(inner_size, np.float64)
+    pts = []
+    for layer in range(layers):
+        off = layer * dp
+        lo = o - off
+        sz = s + 2 * off
+        # floor
+        pts.append(
+            geo.fill_box((lo[0], lo[1], o[2] - off), (sz[0], sz[1], 0.0), dp)
+        )
+        # walls (x faces)
+        for x in (lo[0], lo[0] + sz[0]):
+            pts.append(
+                geo.fill_box((x, lo[1], o[2] - off + dp), (0.0, sz[1], s[2] + off - dp), dp)
+            )
+        for y in (lo[1], lo[1] + sz[1]):
+            pts.append(
+                geo.fill_box((lo[0] + dp, y, o[2] - off + dp), (sz[0] - 2 * dp, 0.0, s[2] + off - dp), dp)
+            )
+    return geo._dedup(np.concatenate(pts), dp)
+
+
+__all__ = ["DamBreak3D", "Poiseuille", "StillWater"]
