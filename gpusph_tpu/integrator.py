@@ -30,6 +30,7 @@ from .defs import SimFlags
 from .framework import SimFramework
 from .ops.filters import apply_filters
 from .ops.forces import compute_forces
+from .ops.forces_pallas import compute_forces_pallas, pallas_supported
 from .ops.integrate import compute_dt, euler_step
 from .ops.neighbors import CellAux, CellGrid, build_cells
 from .state import ParticleState
@@ -55,17 +56,32 @@ class CellOverflowError(RuntimeError):
     neighbor-list overflow abort (CHECK_NEIBSNUM, `src/GPUSPH.cc:1851`)."""
 
 
-def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 32,
-                   steps_per_chunk: Optional[int] = None) -> Callable:
+def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
+                   steps_per_chunk: Optional[int] = None,
+                   use_pallas: Optional[bool] = None) -> Callable:
     """Build the jitted chunk function for a framework + grid.
 
     Returns ``chunk(state, dt, t, iters) -> (state, dt, t, iters, stats)``
     advancing ``steps_per_chunk`` (default ``buildneibsfreq``) time steps
-    after one neighbor rebuild.
+    after one neighbor rebuild.  The forces engine is the Pallas kernel when
+    the model configuration supports it (on an actual TPU), the XLA pair
+    path otherwise.
     """
     sp = fw.sp
     nsteps = steps_per_chunk or sp.buildneibsfreq
     adaptive = bool(fw.flags & SimFlags.ENABLE_DTADAPT)
+    if use_pallas is None:
+        use_pallas = (
+            pallas_supported(fw, grid) and jax.default_backend() != "cpu"
+        )
+
+    if use_pallas:
+        def forces(state, aux, dt):
+            return compute_forces_pallas(fw, grid, state, aux, dt=dt)
+    else:
+        def forces(state, aux, dt):
+            return compute_forces(fw, grid, state, aux, dt=dt,
+                                  chunk_cells=chunk_cells)
 
     def pc_step(carry, it):
         state, dt, t, aux = carry
@@ -75,11 +91,11 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 32,
         state = apply_filters(fw, grid, state, aux, it)
 
         # PREDICTOR: forces at n, integrate to n* with dt/2
-        f1 = compute_forces(fw, grid, state, aux, dt=dt, chunk_cells=chunk_cells)
+        f1 = forces(state, aux, dt)
         half = euler_step(fw, state, f1, dt * 0.5, step=1)
 
         # CORRECTOR: forces at n*, integrate n -> n+1 with dt
-        f2 = compute_forces(fw, grid, half, aux, dt=dt, chunk_cells=chunk_cells)
+        f2 = forces(half, aux, dt)
         new_state = euler_step(fw, state, f2, dt, step=2, full_dt=dt)
 
         new_dt = compute_dt(fw, f2) if adaptive else dt
@@ -110,11 +126,15 @@ class Simulator:
 
     fw: SimFramework
     grid: CellGrid
-    chunk_cells: int = 32
+    chunk_cells: int = 256
+    use_pallas: Optional[bool] = None
 
     def __post_init__(self):
         self.fw = self.fw.finalize()
-        self._chunk = make_sim_chunk(self.fw, self.grid, chunk_cells=self.chunk_cells)
+        self._chunk = make_sim_chunk(
+            self.fw, self.grid, chunk_cells=self.chunk_cells,
+            use_pallas=self.use_pallas,
+        )
         self.iterations = 0
         self.t = 0.0
         self.dt = self.fw.sp.dt

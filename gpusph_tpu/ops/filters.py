@@ -24,13 +24,13 @@ from ..state import ParticleState, fluid_num, part_type
 from . import eos
 from .kernels import W as kernW
 from .neighbors import CellAux, CellGrid
-from .pair import neighbor_apply
+from .pair import neighbor_apply, split_vec
 
 
 def _filter_fields(fw: SimFramework, state: ParticleState):
     f_num = fluid_num(state.info)
     return dict(
-        pos=state.pos,
+        **split_vec("pos", state.pos),
         mass=state.mass,
         rho=eos.physical_density(fw.pp, state.rho, f_num),
         ptype=part_type(state.info),
@@ -46,19 +46,19 @@ def _neib_ok(fw: SimFramework, n_ptype):
 
 def shepard_filter(
     fw: SimFramework, grid: CellGrid, state: ParticleState, aux: CellAux,
-    *, chunk_cells: int = 32,
+    *, chunk_cells: int = 256,
 ) -> ParticleState:
     """Zeroth-order Shepard renormalization of fluid density."""
     sp = fw.sp
     h = sp.slength
     fields = _filter_fields(fw, state)
 
-    def pair_fn(c, n, relpos, r, mask):
-        ok = mask & _neib_ok(fw, n["ptype"])[:, None, :]
-        w = kernW(fw.kerneltype, r, h) * n["mass"][:, None, :]
+    def pair_fn(c, n, g):
+        ok = g.mask & _neib_ok(fw, n["ptype"])
+        w = kernW(fw.kerneltype, g.r, h) * n["mass"]
         return {
             "num": jnp.where(ok, w, 0.0),
-            "den": jnp.where(ok, w / n["rho"][:, None, :], 0.0),
+            "den": jnp.where(ok, w / n["rho"], 0.0),
         }
 
     sums = neighbor_apply(
@@ -112,7 +112,7 @@ def _sym4_adjugate_row1(m):
 
 def mls_filter(
     fw: SimFramework, grid: CellGrid, state: ParticleState, aux: CellAux,
-    *, chunk_cells: int = 32,
+    *, chunk_cells: int = 256,
 ) -> ParticleState:
     """First-order MLS renormalization of fluid density."""
     sp = fw.sp
@@ -120,11 +120,10 @@ def mls_filter(
     fields = _filter_fields(fw, state)
 
     # pass 1: accumulate the MLS moment matrix (relpos scaled by h)
-    def mls_matrix(c, n, relpos, r, mask):
-        ok = mask & _neib_ok(fw, n["ptype"])[:, None, :]
-        w = kernW(fw.kerneltype, r, h) * n["mass"][:, None, :] / n["rho"][:, None, :]
-        w = jnp.where(ok, w, 0.0)
-        x, y, z = (relpos[..., k] / h for k in range(3))
+    def mls_matrix(c, n, g):
+        ok = g.mask & _neib_ok(fw, n["ptype"])
+        w = jnp.where(ok, kernW(fw.kerneltype, g.r, h) * n["mass"] / n["rho"], 0.0)
+        x, y, z = g.relx / h, g.rely / h, g.relz / h
         return {
             "xx": w,
             "xy": w * x, "xz": w * y, "xw": w * z,
@@ -153,19 +152,13 @@ def mls_filter(
     det_r = _sym4_det(Mr)
     b0, b1, b2, b3 = (a / det_r for a in _sym4_adjugate_row1(Mr))
     # rescale the linear coefficients back to world units
-    B = jnp.stack([b0, b1 / h, b2 / h, b3 / h], axis=-1)  # [N,4]
-    fields2 = dict(fields, B=B)
+    fields2 = dict(fields, B0=b0, B1=b1 / h, B2=b2 / h, B3=b3 / h)
 
     # pass 2: corrected density summation
-    def mls_sum(c, n, relpos, r, mask):
-        ok = mask & _neib_ok(fw, n["ptype"])[:, None, :]
-        w = kernW(fw.kerneltype, r, h) * n["mass"][:, None, :]
-        corr = (
-            c["B"][:, :, None, 0]
-            + c["B"][:, :, None, 1] * relpos[..., 0]
-            + c["B"][:, :, None, 2] * relpos[..., 1]
-            + c["B"][:, :, None, 3] * relpos[..., 2]
-        )
+    def mls_sum(c, n, g):
+        ok = g.mask & _neib_ok(fw, n["ptype"])
+        w = kernW(fw.kerneltype, g.r, h) * n["mass"]
+        corr = c["B0"] + c["B1"] * g.relx + c["B2"] * g.rely + c["B3"] * g.relz
         return {"rho": jnp.where(ok, w * corr, 0.0)}
 
     sums = neighbor_apply(
@@ -174,7 +167,7 @@ def mls_filter(
         influenceradius=sp.influenceradius,
         chunk_cells=chunk_cells,
     )
-    new_rho_phys = sums["rho"] + B[:, 0] * w0 * state.mass
+    new_rho_phys = sums["rho"] + fields2["B0"] * w0 * state.mass
 
     f_num = fluid_num(state.info)
     new_rho = eos.numerical_density(fw.pp, new_rho_phys, f_num)

@@ -7,7 +7,8 @@ one kernel per (central-type, neighbor-type) pair and walks a strided
 neighbor list, this implementation computes ALL type pairs in one dense
 masked pass over cell blocks (see `ops/pair.py`): particle-type gating that
 the reference does by template specialization is done here with masks on
-uniform vector math — the natural formulation for the VPU.
+uniform vector math — the natural formulation for the VPU.  All per-pair
+tensors are [C,K,NB] scalars (lane-major over neighbor candidates).
 
 Physics implemented (reference anchor in parentheses):
 
@@ -52,7 +53,7 @@ from . import eos
 from .kernels import F as kernF
 from .kernels import W as kernW
 from .neighbors import CellAux, CellGrid
-from .pair import neighbor_apply
+from .pair import neighbor_apply, split_vec, merge_vec
 
 
 class ForcesOut(struct.PyTreeNode):
@@ -67,6 +68,24 @@ class ForcesOut(struct.PyTreeNode):
     max_kinvisc: jax.Array  # f32[] max kinematic viscosity (CFL visc term)
 
 
+def _powf(x, e: float):
+    """x**e with exact repeated multiplication for small integer exponents
+    (the LJ exponents are typically 12 and 6); keeps the XLA and Pallas
+    paths bit-consistent where pow lowerings would differ."""
+    if e == int(e) and 0 <= int(e) <= 16:
+        n = int(e)
+        out = jnp.ones_like(x)
+        base = x
+        while n:
+            if n & 1:
+                out = out * base
+            n >>= 1
+            if n:
+                base = base * base
+        return out
+    return x**e
+
+
 def _avg(avgop: AverageOperator, a, b):
     """Pairwise averaging operators (reference `src/average.h`)."""
     if avgop == AverageOperator.ARITHMETIC:
@@ -77,7 +96,7 @@ def _avg(avgop: AverageOperator, a, b):
 
 
 def _pair_fields(fw: SimFramework, state: ParticleState):
-    """Per-particle precomputed quantities fed to the pair pass."""
+    """Per-particle precomputed scalar fields fed to the pair pass."""
     pp = fw.pp
     f_num = fluid_num(state.info)
     ptype = part_type(state.info)
@@ -86,10 +105,9 @@ def _pair_fields(fw: SimFramework, state: ParticleState):
     sspeed = eos.sound_speed(pp, state.rho, f_num)
 
     fields = dict(
-        pos=state.pos,
-        vel=state.vel,
+        **split_vec("pos", state.pos),
+        **split_vec("vel", state.vel),
         mass=state.mass,
-        rho_tilde=state.rho,
         rho=rho_phys,
         press=press,
         sspeed=sspeed,
@@ -109,11 +127,11 @@ def _pair_fields(fw: SimFramework, state: ParticleState):
         fields["dyn_visc"] = visccoeff * rho_phys
         fields["kinvisc"] = visccoeff
     if fw.visc.turbmodel == TurbulenceModel.SPS:
-        # symmetric SPS stress tensor (tau/rho^2 terms), 6 components
         tau = state.extra("sps_tau")
-        fields["sps_tau"] = (
-            tau if tau is not None else jnp.zeros((state.capacity, 6), jnp.float32)
-        )
+        if tau is None:
+            tau = jnp.zeros((state.capacity, 6), jnp.float32)
+        for c in range(6):
+            fields[f"sps_tau{c}"] = tau[:, c]
     return fields
 
 
@@ -124,129 +142,129 @@ def compute_forces(
     aux: CellAux,
     *,
     dt: Optional[jax.Array] = None,
-    chunk_cells: int = 32,
+    chunk_cells: int = 256,
 ) -> ForcesOut:
     """One forces pass over the (sorted) particle state."""
     sp, pp = fw.sp, fw.pp
     h = sp.slength
-    N = state.capacity
     fields = _pair_fields(fw, state)
 
-    gravity = jnp.asarray(pp.gravity, jnp.float32)
+    gx, gy, gz = (jnp.float32(g) for g in pp.gravity)
     eps = pp.epsartvisc
     dyn = fw.boundarytype == BoundaryType.DYN_BOUNDARY
+    FLUID = ParticleType.FLUID
+    BOUND = ParticleType.BOUNDARY
 
-    def pair_fn(c, n, relpos, r, mask):
-        f = kernF(fw.kerneltype, r, h)  # [C,K,NB]
+    def pair_fn(c, n, g):
+        f = kernF(fw.kerneltype, g.r, h)  # [C,K,NB]
 
-        relvel = c["vel"][:, :, None, :] - n["vel"][:, None, :, :]
-        vel_dot_pos = jnp.sum(relvel * relpos, axis=-1)
+        relvx = c["vel_x"] - n["vel_x"]
+        relvy = c["vel_y"] - n["vel_y"]
+        relvz = c["vel_z"] - n["vel_z"]
+        vel_dot_pos = g.dot_rel(relvx, relvy, relvz)
 
-        c_fluid = (c["ptype"] == ParticleType.FLUID)[:, :, None]
-        n_fluid = (n["ptype"] == ParticleType.FLUID)[:, None, :]
-        c_bound = (c["ptype"] == ParticleType.BOUNDARY)[:, :, None]
-        n_bound = (n["ptype"] == ParticleType.BOUNDARY)[:, None, :]
+        c_fluid = c["ptype"] == FLUID
+        n_fluid = n["ptype"] == FLUID
+        c_bound = c["ptype"] == BOUND
+        n_bound = n["ptype"] == BOUND
 
-        m_n = n["mass"][:, None, :]
-        rho_c = c["rho"][:, :, None]
-        rho_n = n["rho"][:, None, :]
+        m_n = n["mass"]
+        rho_c = c["rho"]
+        rho_n = n["rho"]
 
         out = {}
 
         # --- continuity: DrDt = sum m_j (v_ij . r_ij) F_ij ------------------
         # (forces_kernel.def:2139-2155). With DYN boundaries, boundary
         # particles both receive and produce continuity contributions
-        # (Dalrymple's dynamic boundary: density evolves); with repulsive
-        # boundaries (LJ/MK) boundary particles take no part in continuity.
+        # (Dalrymple dynamic boundaries); with LJ/MK boundaries, boundary
+        # particles take no part in continuity.
         if dyn:
-            cont_mask = mask & (c_fluid | c_bound) & (n_fluid | n_bound)
+            cont_mask = g.mask & (c_fluid | c_bound) & (n_fluid | n_bound)
         else:
-            cont_mask = mask & c_fluid & n_fluid
-        DrDt = jnp.where(cont_mask, m_n * vel_dot_pos * f, 0.0)
+            cont_mask = g.mask & c_fluid & n_fluid
+        DrDt_term = m_n * vel_dot_pos * f
         if fw.sph_formulation == SPHFormulation.SPH_F2:
             # density-ratio correction (forces_kernel.def:2156-2171)
-            DrDt = DrDt * rho_c / rho_n
+            DrDt_term = DrDt_term * rho_c / rho_n
+        DrDt = jnp.where(cont_mask, DrDt_term, 0.0)
 
-        # --- density diffusion ---------------------------------------------
         DrDt = DrDt + _density_diffusion(
-            fw, c, n, relpos, r, f, mask & c_fluid & n_fluid, dt
+            fw, c, n, g, f, g.mask & c_fluid & n_fluid, dt
         )
         out["DrDt"] = DrDt
 
         # --- momentum: pressure gradient -----------------------------------
-        mom_mask = mask & c_fluid & (n_fluid | (n_bound if dyn else False))
+        mom_mask = g.mask & c_fluid & (n_fluid | n_bound if dyn else n_fluid)
         if fw.sph_formulation == SPHFormulation.SPH_F2:
-            pgrad = (c["press"][:, :, None] + n["press"][:, None, :]) / (rho_c * rho_n)
+            pgrad = (c["press"] + n["press"]) / (rho_c * rho_n)
         else:
-            pgrad = c["p_precalc"][:, :, None] + n["p_precalc"][:, None, :]
-        DvDt = jnp.where(
-            mom_mask[..., None], -(pgrad * m_n * f)[..., None] * relpos, 0.0
-        )
+            pgrad = c["p_precalc"] + n["p_precalc"]
+        # scalar pair coefficient s such that DvDt += s * rel
+        s = jnp.where(mom_mask, -(pgrad * m_n * f), 0.0)
 
         # --- viscosity ------------------------------------------------------
         if fw.visc.turbmodel == TurbulenceModel.ARTIFICIAL:
             # Monaghan artificial viscosity (visc_kernel.cu:75-86)
-            c_c = c["sspeed"][:, :, None]
-            c_n = n["sspeed"][:, None, :]
             art = (
                 vel_dot_pos
-                * h
-                * pp.artvisccoeff
-                * (c_c + c_n)
-                / ((r * r + eps) * (rho_c + rho_n))
+                * (h * pp.artvisccoeff)
+                * (c["sspeed"] + n["sspeed"])
+                / ((g.r2 + eps) * (rho_c + rho_n))
             )
-            av_mask = mom_mask & (vel_dot_pos < 0.0)
-            DvDt = DvDt + jnp.where(
-                av_mask[..., None], (art * m_n * f)[..., None] * relpos, 0.0
-            )
+            s = s + jnp.where(mom_mask & (vel_dot_pos < 0.0), art * m_n * f, 0.0)
 
+        # accumulated relvel-direction coefficient
+        sv = None
         if not fw.is_inviscid:
             # laminar viscous term (forces_kernel.def:2606-2626 + visc_avg.cu):
             # DvDt += 2 avg(mu) m_j/(rho_i rho_j) F * (viscous vector)
-            mu_avg = _avg(fw.visc.avgop, c["dyn_visc"][:, :, None], n["dyn_visc"][:, None, :])
+            mu_avg = _avg(fw.visc.avgop, c["dyn_visc"], n["dyn_visc"])
             visc_coeff = 2.0 * mu_avg * m_n / (rho_c * rho_n)
             if fw.visc.viscmodel == ViscousModel.MONAGHAN:
                 # projection form (forces_kernel.def:2531-2561)
-                mon = jnp.where(vel_dot_pos < 0, vel_dot_pos / (r * r + eps), 0.0)
-                vvec = mon[..., None] * relpos
-                # Monaghan model carries an extra multiplicative coefficient
-                visc_coeff = visc_coeff * pp.monaghan_visc_coeff if pp.monaghan_visc_coeff == pp.monaghan_visc_coeff else visc_coeff
+                mon = jnp.where(vel_dot_pos < 0, vel_dot_pos / (g.r2 + eps), 0.0)
+                coeff = pp.monaghan_visc_coeff
+                if coeff != coeff:  # NaN -> default 1
+                    coeff = 1.0
+                s = s + jnp.where(mom_mask, coeff * visc_coeff * f * mon, 0.0)
             else:  # MORRIS
-                vvec = relvel
-            DvDt = DvDt + jnp.where(
-                mom_mask[..., None], (visc_coeff * f)[..., None] * vvec, 0.0
-            )
+                sv = jnp.where(mom_mask, visc_coeff * f, 0.0)
 
         if fw.visc.turbmodel == TurbulenceModel.SPS:
             # SPS stress: DvDt += m_j F (tau_i + tau_j) . r_ij
-            # (forces_kernel.def:2770-2790); tau stored as upper-tri 6-vector
-            t = c["sps_tau"][:, :, None, :] + n["sps_tau"][:, None, :, :]
-            tx = t[..., 0] * relpos[..., 0] + t[..., 1] * relpos[..., 1] + t[..., 2] * relpos[..., 2]
-            ty = t[..., 1] * relpos[..., 0] + t[..., 3] * relpos[..., 1] + t[..., 4] * relpos[..., 2]
-            tz = t[..., 2] * relpos[..., 0] + t[..., 4] * relpos[..., 1] + t[..., 5] * relpos[..., 2]
-            sps = jnp.stack([tx, ty, tz], axis=-1)
-            DvDt = DvDt + jnp.where(mom_mask[..., None], (m_n * f)[..., None] * sps, 0.0)
+            # (forces_kernel.def:2770-2790); tau as upper-tri 6-vector
+            t0 = c["sps_tau0"] + n["sps_tau0"]
+            t1 = c["sps_tau1"] + n["sps_tau1"]
+            t2 = c["sps_tau2"] + n["sps_tau2"]
+            t3 = c["sps_tau3"] + n["sps_tau3"]
+            t4 = c["sps_tau4"] + n["sps_tau4"]
+            t5 = c["sps_tau5"] + n["sps_tau5"]
+            mf = jnp.where(mom_mask, m_n * f, 0.0)
+            out["DvDt_x_extra"] = mf * (t0 * g.relx + t1 * g.rely + t2 * g.relz)
+            out["DvDt_y_extra"] = mf * (t1 * g.relx + t3 * g.rely + t4 * g.relz)
+            out["DvDt_z_extra"] = mf * (t2 * g.relx + t4 * g.rely + t5 * g.relz)
 
         # --- repulsive boundary force (LJ / MK) -----------------------------
         if fw.repulsive_boundary:
-            rep_mask = mask & c_fluid & n_bound
+            rep_mask = g.mask & c_fluid & n_bound
             if fw.boundarytype == BoundaryType.LJ_BOUNDARY:
                 # LJForce (forces_kernel.cu:75-103)
-                safe_r = jnp.maximum(r, 1e-12)
+                safe_r = jnp.maximum(g.r, 1e-12)
                 ratio = pp.r0 / safe_r
                 lj = (
                     pp.dcoeff
-                    * (ratio**pp.p1coeff - ratio**pp.p2coeff)
+                    * (_powf(ratio, pp.p1coeff) - _powf(ratio, pp.p2coeff))
                     / (safe_r * safe_r)
                 )
-                rep = jnp.where(r < pp.r0, lj, 0.0)
+                rep = jnp.where(g.r < pp.r0, lj, 0.0)
             else:
-                # MKForce (forces_kernel.cu:105-133): uses the 1D Wendland
-                q = r / h
+                # MKForce (forces_kernel.cu:105-133): 1D Wendland shape
+                q = g.r / h
                 wmk = 1.8 * (1.0 - 0.5 * q) ** 4 * (2.0 * q + 1.0)
-                dist = jnp.maximum(eps, r - pp.mk_d)
-                m_c = c["mass"][:, :, None]
-                safe_r = jnp.maximum(r, 1e-12)
+                dist = jnp.maximum(eps, g.r - pp.mk_d)
+                m_c = c["mass"]
+                safe_r = jnp.maximum(g.r, 1e-12)
                 rep = (
                     pp.mk_k
                     * wmk
@@ -254,19 +272,25 @@ def compute_forces(
                     * m_n
                     / (pp.mk_beta * dist * safe_r * (m_c + m_n))
                 )
-            DvDt = DvDt + jnp.where(rep_mask[..., None], rep[..., None] * relpos, 0.0)
+            s = s + jnp.where(rep_mask, rep, 0.0)
 
-        out["DvDt"] = DvDt
+        out["DvDt_x"] = s * g.relx + (sv * relvx if sv is not None else 0.0)
+        out["DvDt_y"] = s * g.rely + (sv * relvy if sv is not None else 0.0)
+        out["DvDt_z"] = s * g.relz + (sv * relvz if sv is not None else 0.0)
+        if "DvDt_x_extra" in out:
+            out["DvDt_x"] = out["DvDt_x"] + out.pop("DvDt_x_extra")
+            out["DvDt_y"] = out["DvDt_y"] + out.pop("DvDt_y_extra")
+            out["DvDt_z"] = out["DvDt_z"] + out.pop("DvDt_z_extra")
 
         # --- XSPH mean velocity (forces_kernel.def:2986-2994) ---------------
         if fw.has_xsph:
-            w = kernW(fw.kerneltype, r, h)
-            xs_mask = mask & c_fluid & n_fluid
-            out["xsph"] = jnp.where(
-                xs_mask[..., None],
-                -(m_n * w / (rho_c + rho_n))[..., None] * relvel,
-                0.0,
+            w = kernW(fw.kerneltype, g.r, h)
+            xw = jnp.where(
+                g.mask & c_fluid & n_fluid, -m_n * w / (rho_c + rho_n), 0.0
             )
+            out["xsph_x"] = xw * relvx
+            out["xsph_y"] = xw * relvy
+            out["xsph_z"] = xw * relvz
 
         return out
 
@@ -281,17 +305,25 @@ def compute_forces(
     )
 
     ptype = fields["ptype"]
-    is_fluid_c = ptype == ParticleType.FLUID
+    is_fluid_c = ptype == FLUID
 
     # --- finalize (finalizeforcesDevice, forces_kernel.def:4037-4110) ------
-    DvDt = sums["DvDt"] + jnp.where(is_fluid_c[:, None], gravity[None, :], 0.0)
+    DvDt = merge_vec(sums, "DvDt")
+    DvDt = DvDt + jnp.where(
+        is_fluid_c[:, None],
+        jnp.stack([gx, gy, gz])[None, :],
+        0.0,
+    )
     # boundary particles never accelerate (their velocity is imposed)
     DvDt = jnp.where(is_fluid_c[:, None], DvDt, 0.0)
     # convert physical DrDt to relative-density rate (forces_kernel.def:4581)
     rho0 = eos._per_fluid(fw.pp, fields["f_num"], [f.rho0 for f in fw.pp.fluids])
     DrDt = sums["DrDt"] / rho0
 
-    xsph = sums.get("xsph", jnp.zeros_like(state.vel))
+    if fw.has_xsph:
+        xsph = merge_vec(sums, "xsph")
+    else:
+        xsph = jnp.zeros_like(state.vel)
 
     # --- CFL reductions (forces.cu:557-600) ---------------------------------
     accel2 = jnp.sum(DvDt * DvDt, axis=-1)
@@ -312,7 +344,7 @@ def compute_forces(
     )
 
 
-def _density_diffusion(fw, c, n, relpos, r, f, ff_mask, dt):
+def _density_diffusion(fw, c, n, g, f, ff_mask, dt):
     """Density-diffusion DrDt contribution (physical units).
 
     Ferrari: forces_kernel.def:1609-1640; Colagrossi: :1910-1953;
@@ -320,48 +352,39 @@ def _density_diffusion(fw, c, n, relpos, r, f, ff_mask, dt):
     """
     ddt = fw.densitydiffusiontype
     if ddt == DensityDiffusionType.NONE:
-        return jnp.zeros(r.shape, jnp.float32)
+        return jnp.zeros_like(g.r2)
 
     pp, sp = fw.pp, fw.sp
-    gravity = jnp.asarray(pp.gravity, jnp.float32)
-    rho_c = c["rho"][:, :, None]
-    rho_n = n["rho"][:, None, :]
-    m_n = n["mass"][:, None, :]
-    same_fluid = (c["f_num"][:, :, None] == n["f_num"][:, None, :])
-    g_dot_rel = jnp.einsum("...d,d->...", relpos, gravity)
+    gx, gy, gz = pp.gravity
+    rho_c = c["rho"]
+    rho_n = n["rho"]
+    m_n = n["mass"]
+    same_fluid = c["f_num"] == n["f_num"]
+    g_dot_rel = g.dot_rel(jnp.float32(gx), jnp.float32(gy), jnp.float32(gz))
 
     if ddt == DensityDiffusionType.COLAGROSSI:
         # gate: only when pressure jump exceeds the hydrostatic jump
-        gate = jnp.abs(c["press"][:, :, None] - n["press"][:, None, :]) >= jnp.abs(
-            g_dot_rel * rho_c
-        )
-        # c0 of the central particle's fluid
-        c0 = eos._per_fluid(pp, c["f_num"], [fl.c0 for fl in pp.fluids])[:, :, None]
-        coeff = sp.densityDiffCoeff * 2.0 * sp.slength  # xi * 2h (ProblemCore.cc:1416)
+        gate = jnp.abs(c["press"] - n["press"]) >= jnp.abs(g_dot_rel * rho_c)
+        c0 = eos._per_fluid(pp, c["f_num"], [fl.c0 for fl in pp.fluids])
+        coeff = sp.densityDiffCoeff * 2.0 * sp.slength  # xi*2h (ProblemCore.cc:1416)
         diff = coeff * c0 * (rho_n / rho_c - 1.0) * f * m_n
         return jnp.where(ff_mask & same_fluid & gate, -diff, 0.0)
 
     if ddt == DensityDiffusionType.FERRARI:
-        # grav correction for free-surface flows + diffusion along r
-        sq_c0 = eos._per_fluid(pp, c["f_num"], [fl.c0 * fl.c0 for fl in pp.fluids])[:, :, None]
-        rho0_c = eos._per_fluid(pp, c["f_num"], [fl.rho0 for fl in pp.fluids])[:, :, None]
+        sq_c0 = eos._per_fluid(pp, c["f_num"], [fl.c0 * fl.c0 for fl in pp.fluids])
+        rho0_c = eos._per_fluid(pp, c["f_num"], [fl.rho0 for fl in pp.fluids])
         grav_corr = -g_dot_rel * rho0_c / sq_c0
-        max_ss = jnp.maximum(c["sspeed"][:, :, None], n["sspeed"][:, None, :])
-        safe = r > 1e-4 * sp.slength
-        # (rho_i - rho_j + corr)/rho_i /r * relpos ; dotted with relpos gives r
-        ferr = jnp.where(
-            safe, max_ss * (rho_c - rho_n + grav_corr) / rho_c * r, 0.0
-        )
+        max_ss = jnp.maximum(c["sspeed"], n["sspeed"])
+        safe = g.r > 1e-4 * sp.slength
+        ferr = jnp.where(safe, max_ss * (rho_c - rho_n + grav_corr) / rho_c * g.r, 0.0)
         return jnp.where(ff_mask, sp.densityDiffCoeff * m_n * ferr * f, 0.0)
 
     if ddt == DensityDiffusionType.BREZZI:
         if dt is None:
             dt = jnp.zeros((), jnp.float32)
-        press_c = c["press"][:, :, None]
-        press_n = n["press"][:, None, :]
         term = (
             sp.densityDiffCoeff
-            * ((2.0 / (rho_c + rho_n)) * (press_c - press_n) - g_dot_rel)
+            * ((2.0 / (rho_c + rho_n)) * (c["press"] - n["press"]) - g_dot_rel)
             * m_n
             / rho_n
             * f

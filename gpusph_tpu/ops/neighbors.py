@@ -35,12 +35,21 @@ from ..state import ParticleState, is_active
 class CellGrid:
     """Static cell-grid geometry (reference `GlobalData` grid fields,
     `src/GlobalData.h:95-657`, and `ProblemCore::set_grid_params`
-    `src/ProblemCore.h:358`)."""
+    `src/ProblemCore.h:358`).
+
+    ``order`` is the linearization axis order, fastest axis first — the
+    analogue of the reference's COORD1/2/3 linearization abstraction
+    (`src/linearization.h:29-35`).  The Pallas forces kernel requires the
+    fastest axis to be non-periodic (so that 3-cell neighbor runs are
+    contiguous slices of the sorted particle arrays); ``make_grid`` picks
+    such an order automatically.
+    """
 
     origin: Tuple[float, float, float]
     ncells: Tuple[int, int, int]
     cell_size: Tuple[float, float, float]
     periodic: Periodicity = Periodicity.NONE
+    order: Tuple[int, int, int] = (0, 1, 2)  # fastest axis first
 
     @property
     def n_cells(self) -> int:
@@ -56,6 +65,10 @@ class CellGrid:
         """One-past-the-end cell collecting dead/out-of-domain particles."""
         return self.n_cells
 
+    @property
+    def fast_axis_periodic(self) -> bool:
+        return bool(self.periodic & (1 << self.order[0]))
+
 
 def make_grid(
     world_origin: Tuple[float, float, float],
@@ -67,7 +80,14 @@ def make_grid(
     (reference `ProblemCore::set_grid_params`)."""
     ncells = tuple(max(1, int(ws / influenceradius)) for ws in world_size)
     cell_size = tuple(ws / nc for ws, nc in zip(world_size, ncells))
-    return CellGrid(tuple(world_origin), ncells, cell_size, periodic)
+    # fastest linearization axis: prefer a non-periodic one (see CellGrid)
+    fast = 0
+    for a in range(3):
+        if not (periodic & (1 << a)):
+            fast = a
+            break
+    order = (fast,) + tuple(a for a in range(3) if a != fast)
+    return CellGrid(tuple(world_origin), ncells, cell_size, periodic, order)
 
 
 def cell_coords(grid: CellGrid, pos):
@@ -86,9 +106,10 @@ def cell_coords(grid: CellGrid, pos):
 
 
 def linearize(grid: CellGrid, ijk):
-    """x-fastest linearization (reference `src/linearization.h` default)."""
-    nx, ny, _ = grid.ncells
-    return (ijk[..., 2] * ny + ijk[..., 1]) * nx + ijk[..., 0]
+    """Axis-ordered linearization (reference `src/linearization.h`)."""
+    a0, a1, a2 = grid.order
+    n0, n1 = grid.ncells[a0], grid.ncells[a1]
+    return (ijk[..., a2] * n1 + ijk[..., a1]) * n0 + ijk[..., a0]
 
 
 def cell_hash(grid: CellGrid, pos, active):
@@ -141,41 +162,44 @@ def build_cells(grid: CellGrid, state: ParticleState) -> Tuple[ParticleState, Ce
     )
 
 
+def delinearize(grid: CellGrid, cells):
+    """Inverse of :func:`linearize`: linear id -> (i,j,k) per world axis."""
+    a0, a1, a2 = grid.order
+    n0, n1 = grid.ncells[a0], grid.ncells[a1]
+    c = cells.astype(jnp.int32)
+    coords = [None, None, None]
+    coords[a0] = c % n0
+    coords[a1] = (c // n0) % n1
+    coords[a2] = c // (n0 * n1)
+    return coords  # list of arrays, indexed by world axis
+
+
 def neighbor_cell_ids(grid: CellGrid, cells):
     """For linear cell ids ``cells`` [C], return the 27 neighboring linear ids
     [C,27] and their validity mask [C,27] (periodic wrap or clamp-out).
     """
-    nx, ny, nz = grid.ncells
-    c = cells.astype(jnp.int32)
-    i = c % nx
-    j = (c // nx) % ny
-    k = c // (nx * ny)
+    coords = delinearize(grid, cells)
 
     offs = jnp.asarray(
         [(dx, dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
         dtype=jnp.int32,
     )  # [27,3]
 
-    ii = i[:, None] + offs[None, :, 0]
-    jj = j[:, None] + offs[None, :, 1]
-    kk = k[:, None] + offs[None, :, 2]
-
-    valid = jnp.ones(ii.shape, dtype=bool)
+    valid = jnp.ones((cells.shape[0], 27), dtype=bool)
     per = grid.periodic
-    for axis, (coord, n) in enumerate(((ii, nx), (jj, ny), (kk, nz))):
+    wrapped = []
+    for axis in range(3):
+        n = grid.ncells[axis]
+        coord = coords[axis][:, None] + offs[None, :, axis]
         if per & (1 << axis):
             coord_w = coord % n
         else:
             valid = valid & (coord >= 0) & (coord < n)
             coord_w = jnp.clip(coord, 0, n - 1)
-        if axis == 0:
-            ii = coord_w
-        elif axis == 1:
-            jj = coord_w
-        else:
-            kk = coord_w
+        wrapped.append(coord_w)
 
-    lin = (kk * ny + jj) * nx + ii
+    ijk = jnp.stack(wrapped, axis=-1)
+    lin = linearize(grid, ijk)
     return jnp.where(valid, lin, grid.trash_cell), valid
 
 

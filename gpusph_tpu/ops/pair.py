@@ -7,13 +7,20 @@ against their 27 neighbor cells as dense masked blocks:
 * centrals of a cell: the ``K = max_parts_per_cell`` slots of its sorted slice
 * neighbor candidates: the ``27*K`` slots of the neighboring cells' slices
 
-Each chunk of ``C`` cells yields a ``[C, K, NB]`` pair block on which the
-physics callback computes all pairwise terms with plain jnp (VPU) math; the
-reductions over ``NB`` produce per-central sums.  ``lax.map`` streams chunks
-so peak memory stays bounded; XLA fuses the gather + elementwise chain per
-chunk.  This is the structure a Pallas kernel will later accelerate with
-explicit VMEM staging (neighbor cells are *contiguous* slices after the sort,
-so they DMA as at most 9 dense runs).
+Each chunk of ``C`` cells yields ``[C, K, NB]`` pair blocks on which the
+physics callback computes all pairwise terms with plain jnp (VPU) math.
+
+LAYOUT RULE: everything is scalar-component ("structure of arrays down to
+components"): positions/velocities enter as separate ``pos_x/pos_y/pos_z``
+``[N]`` arrays and every per-pair tensor is ``[C, K, NB]`` — the 128-lane
+minor dimension is always the (large) neighbor-candidate axis.  Packing the
+xyz components as a trailing dim of 3 would waste 125/128 lanes of the VPU;
+this layout is worth >10x on TPU.
+
+``lax.map`` streams chunks so peak memory stays bounded; XLA fuses the
+gather + elementwise chain per chunk.  The same structure is what the Pallas
+kernel accelerates with explicit VMEM staging (a cell's 27 neighbor cells are
+9 *contiguous* slices of the sorted arrays — see `ops/forces_pallas.py`).
 
 The combinator is shared by the forces engine, density filters, density
 summation, SPS stress, vorticity and surface detection — the analogue of the
@@ -21,13 +28,40 @@ reference instantiating many neighbor-loop kernels from one iteration header.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
 
-from .neighbors import CellAux, CellGrid, min_image, neighbor_cell_ids
+from .neighbors import CellAux, CellGrid, neighbor_cell_ids
+
+
+def split_vec(name: str, v) -> Dict[str, jax.Array]:
+    """Split an [N,3] array into scalar components {name_x, name_y, name_z}."""
+    return {f"{name}_x": v[:, 0], f"{name}_y": v[:, 1], f"{name}_z": v[:, 2]}
+
+
+def merge_vec(out: Dict[str, jax.Array], name: str) -> jax.Array:
+    """Re-assemble an [N,3] array from scalar component outputs."""
+    return jnp.stack([out[f"{name}_x"], out[f"{name}_y"], out[f"{name}_z"]], axis=-1)
+
+
+class PairGeometry:
+    """Per-pair geometry handed to the physics callback (all [C,K,NB])."""
+
+    __slots__ = ("relx", "rely", "relz", "r2", "r", "mask")
+
+    def __init__(self, relx, rely, relz, r2, r, mask):
+        self.relx = relx
+        self.rely = rely
+        self.relz = relz
+        self.r2 = r2
+        self.r = r
+        self.mask = mask
+
+    def dot_rel(self, x, y, z):
+        """Dot product of a per-pair vector with the relative position."""
+        return x * self.relx + y * self.rely + z * self.relz
 
 
 def neighbor_apply(
@@ -38,71 +72,71 @@ def neighbor_apply(
     *,
     max_parts_per_cell: int,
     influenceradius: float,
-    chunk_cells: int = 32,
+    chunk_cells: int = 256,
     out_capacity: int | None = None,
 ) -> Dict[str, jax.Array]:
     """Apply ``pair_fn`` over all neighbor pairs and sum per central particle.
 
     Args:
-      grid, aux: cell grid geometry and per-rebuild tables; ``fields`` must be
-        in the rebuild's sorted order.
-      fields: dict of per-particle arrays ``[N, ...]``; must contain ``"pos"``.
-      pair_fn: ``pair_fn(central, neib, relpos, r, mask) -> dict`` where
-        ``central[name]`` is ``[C, K, ...]``, ``neib[name]`` is ``[C, NB, ...]``,
-        ``relpos`` is ``[C, K, NB, 3]`` (central minus neighbor, minimum-image),
-        ``r`` is ``[C, K, NB]`` and ``mask`` is the valid-pair mask (cutoff,
-        occupancy, self-exclusion already applied).  Outputs are ``[C, K, NB]``
-        or ``[C, K, NB, 3]`` per-pair terms, summed over ``NB``.
-      max_parts_per_cell: K — static cell capacity.
-      influenceradius: interaction cutoff.
-      chunk_cells: cells processed per ``lax.map`` step.
-      out_capacity: rows of the output arrays (defaults to len of fields).
+      fields: dict of per-particle [N] scalar arrays in the rebuild's sorted
+        order; must contain ``pos_x/pos_y/pos_z``.
+      pair_fn: ``pair_fn(central, neib, geom) -> dict`` with
+        ``central[name]`` [C,K,1], ``neib[name]`` [C,1,NB] (pre-expanded for
+        broadcasting) and ``geom`` a :class:`PairGeometry`.  Output values are
+        [C,K,NB] per-pair terms, summed over NB (invalid pairs are already
+        zero-masked by the caller only in geom.mask — pair_fn must apply
+        ``jnp.where(geom.mask & ..., term, 0)`` itself for every output).
 
-    Returns:
-      dict of per-particle arrays ``[N, ...]`` in the same sorted order,
-      zero outside any interaction.
+    Returns dict of [N] per-particle sums in sorted order.
     """
     K = max_parts_per_cell
     n_cells = grid.n_cells
-    N = fields["pos"].shape[0]
+    N = fields["pos_x"].shape[0]
     out_n = N if out_capacity is None else out_capacity
 
     n_chunks = -(-n_cells // chunk_cells)
-    n_padded = n_chunks * chunk_cells
 
     k_ar = jnp.arange(K, dtype=jnp.int32)
     rad2 = jnp.float32(influenceradius * influenceradius)
 
+    # periodic minimum-image offsets, applied per scalar axis
+    Lx, Ly, Lz = grid.world_size
+    per = int(grid.periodic)
+
+    def wrap(rel, L, axis_bit):
+        if per & axis_bit:
+            return rel - jnp.float32(L) * jnp.round(rel * jnp.float32(1.0 / L))
+        return rel
+
     def chunk_body(c0):
         cells = c0 + jnp.arange(chunk_cells, dtype=jnp.int32)
-        # padding cells beyond the grid behave as the (empty-for-centrals)
-        # trash cell
-        cells = jnp.minimum(cells, n_cells)
+        cells = jnp.minimum(cells, n_cells)  # padding -> empty trash cell
 
         start = aux.cell_start[cells]  # [C]
-        count = jnp.where(cells < n_cells, aux.cell_count[cells], 0)  # [C]
+        count = jnp.where(cells < n_cells, aux.cell_count[cells], 0)
 
         cidx = start[:, None] + k_ar[None, :]  # [C,K]
-        cmask = k_ar[None, :] < count[:, None]  # [C,K]
+        cmask = k_ar[None, :] < count[:, None]
         cidx_safe = jnp.where(cmask, cidx, 0)
 
         neib_lin, _ = neighbor_cell_ids(grid, cells)  # [C,27]
-        nstart = aux.cell_start[neib_lin]  # [C,27]
-        ncount = aux.cell_count[jnp.minimum(neib_lin, n_cells)]  # trash: count 0
-        ncount = jnp.where(neib_lin < n_cells, ncount, 0)
-
+        nstart = aux.cell_start[neib_lin]
+        ncount = jnp.where(
+            neib_lin < n_cells, aux.cell_count[jnp.minimum(neib_lin, n_cells)], 0
+        )
         nidx = nstart[:, :, None] + k_ar[None, None, :]  # [C,27,K]
         nmask = k_ar[None, None, :] < ncount[:, :, None]
         NB = 27 * K
-        nidx = jnp.where(nmask, nidx, 0).reshape(-1, NB)  # [C,NB]
+        nidx = jnp.where(nmask, nidx, 0).reshape(-1, NB)
         nmask = nmask.reshape(-1, NB)
 
-        central = {k: v[cidx_safe] for k, v in fields.items()}  # [C,K,...]
-        neib = {k: v[nidx] for k, v in fields.items()}  # [C,NB,...]
+        central = {k: v[cidx_safe][:, :, None] for k, v in fields.items()}
+        neib = {k: v[nidx][:, None, :] for k, v in fields.items()}
 
-        relpos = central["pos"][:, :, None, :] - neib["pos"][:, None, :, :]
-        relpos = min_image(grid, relpos)  # [C,K,NB,3]
-        r2 = jnp.sum(relpos * relpos, axis=-1)  # [C,K,NB]
+        relx = wrap(central["pos_x"] - neib["pos_x"], Lx, 1)
+        rely = wrap(central["pos_y"] - neib["pos_y"], Ly, 2)
+        relz = wrap(central["pos_z"] - neib["pos_z"], Lz, 4)
+        r2 = relx * relx + rely * rely + relz * relz
 
         mask = (
             cmask[:, :, None]
@@ -110,33 +144,29 @@ def neighbor_apply(
             & (r2 < rad2)
             & (cidx[:, :, None] != nidx[:, None, :])  # exclude self
         )
-        r = jnp.sqrt(r2)
+        geom = PairGeometry(relx, rely, relz, r2, jnp.sqrt(r2), mask)
 
-        out = pair_fn(central, neib, relpos, r, mask)
-        out_sum = {k: jnp.sum(jnp.where(_bmask(mask, v), v, 0), axis=2) for k, v in out.items()}
-        # scatter index: invalid central slots -> out_n (dropped)
+        out = pair_fn(central, neib, geom)
+        out_sum = {k: jnp.sum(v, axis=2) for k, v in out.items()}  # [C,K]
         sidx = jnp.where(cmask, cidx, out_n)
         return sidx, out_sum
 
     xs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_cells
-    sidx, sums = jax.lax.map(chunk_body, xs)  # [n_chunks, C, K, ...]
+    if n_chunks == 1:
+        sidx, sums = chunk_body(xs[0])
+        sidx = sidx[None]
+        sums = {k: v[None] for k, v in sums.items()}
+    else:
+        sidx, sums = jax.lax.map(chunk_body, xs)
 
     flat_idx = sidx.reshape(-1)
     results = {}
     for name, v in sums.items():
-        flat = v.reshape((n_padded * K,) + v.shape[3:])
-        shape = (out_n,) + v.shape[3:]
+        flat = v.reshape(-1)
         results[name] = (
-            jnp.zeros(shape, flat.dtype).at[flat_idx].set(flat, mode="drop")
+            jnp.zeros((out_n,), flat.dtype).at[flat_idx].set(flat, mode="drop")
         )
     return results
 
 
-def _bmask(mask, v):
-    """Broadcast the pair mask against a possibly-vector-valued output."""
-    if v.ndim == mask.ndim + 1:
-        return mask[..., None]
-    return mask
-
-
-__all__ = ["neighbor_apply"]
+__all__ = ["neighbor_apply", "PairGeometry", "split_vec", "merge_vec"]

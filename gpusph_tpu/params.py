@@ -156,8 +156,9 @@ class SimParams:
     # max particles per cell in the TPU binned-cell neighbor structure;
     # the analogue of the reference's neighbor-list capacity (CHECK_NEIBSNUM).
     # Bulk cells hold ~(cellsize/dp)^3 ~= 18-21 particles; wall corners with
-    # stacked dynamic-boundary layers can reach the low 40s.
-    max_parts_per_cell: int = 48
+    # stacked dynamic-boundary layers can reach the high 30s.  Keeping
+    # 3*K <= 128 lets the Pallas forces kernel use single-tile candidate runs.
+    max_parts_per_cell: int = 40
 
     # periodicity
     periodicbound: Periodicity = Periodicity.NONE

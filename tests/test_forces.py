@@ -75,7 +75,7 @@ def run_case(rng, *, boundary, turb, kinvisc, diffusion, xi=0.0):
     grid = make_grid((0, 0, 0), (0.3, 0.3, 0.3), fw.influenceradius)
     sorted_st, aux = build_cells(grid, st)
 
-    out = compute_forces(fw, grid, sorted_st, aux)
+    out = compute_forces(fw, grid, sorted_st, aux, chunk_cells=16)
 
     act = np.asarray(sorted_st.active)
     ptype_sorted = np.where(

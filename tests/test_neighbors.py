@@ -59,14 +59,18 @@ def test_pair_counts_match_brute_force(rng):
     st = random_state(rng, n, capacity=512)
     sorted_st, aux = build_cells(grid, st)
 
-    fields = {"pos": sorted_st.pos, "one": jnp.ones(512, jnp.float32)}
+    fields = {
+        "pos_x": sorted_st.pos[:, 0],
+        "pos_y": sorted_st.pos[:, 1],
+        "pos_z": sorted_st.pos[:, 2],
+    }
 
-    def count_fn(c, nb, relpos, r, mask):
-        return {"count": jnp.where(mask, 1.0, 0.0)}
+    def count_fn(c, nb, g):
+        return {"count": jnp.where(g.mask, 1.0, 0.0)}
 
     out = neighbor_apply(
         grid, aux, fields, count_fn,
-        max_parts_per_cell=32, influenceradius=rad,
+        max_parts_per_cell=32, influenceradius=rad, chunk_cells=16,
     )
     counts = np.asarray(out["count"])[np.asarray(sorted_st.active)]
     pos = np.asarray(sorted_st.pos)[np.asarray(sorted_st.active)]
@@ -82,14 +86,18 @@ def test_pair_counts_periodic(rng):
     st = random_state(rng, n, capacity=300)
     sorted_st, aux = build_cells(grid, st)
 
-    fields = {"pos": sorted_st.pos}
+    fields = {
+        "pos_x": sorted_st.pos[:, 0],
+        "pos_y": sorted_st.pos[:, 1],
+        "pos_z": sorted_st.pos[:, 2],
+    }
 
-    def count_fn(c, nb, relpos, r, mask):
-        return {"count": jnp.where(mask, 1.0, 0.0)}
+    def count_fn(c, nb, g):
+        return {"count": jnp.where(g.mask, 1.0, 0.0)}
 
     out = neighbor_apply(
         grid, aux, fields, count_fn,
-        max_parts_per_cell=64, influenceradius=rad,
+        max_parts_per_cell=64, influenceradius=rad, chunk_cells=16,
     )
     pos = np.asarray(sorted_st.pos, np.float64)
     delta = pos[:, None, :] - pos[None, :, :]
