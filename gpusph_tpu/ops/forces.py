@@ -91,7 +91,7 @@ def _avg(avgop: AverageOperator, a, b):
     if avgop == AverageOperator.ARITHMETIC:
         return 0.5 * (a + b)
     if avgop == AverageOperator.HARMONIC:
-        return 2.0 * a * b / (a + b)
+        return 2.0 * a * b / (a + b + 1e-30)
     return jnp.sqrt(a * b)
 
 
@@ -250,13 +250,14 @@ def compute_forces(
             rep_mask = g.mask & c_fluid & n_bound
             if fw.boundarytype == BoundaryType.LJ_BOUNDARY:
                 # LJForce (forces_kernel.cu:75-103)
-                safe_r = jnp.maximum(g.r, 1e-12)
+                safe_r = jnp.maximum(g.r, 1e-3 * pp.r0)
                 ratio = pp.r0 / safe_r
                 lj = (
                     pp.dcoeff
                     * (_powf(ratio, pp.p1coeff) - _powf(ratio, pp.p2coeff))
                     / (safe_r * safe_r)
                 )
+                lj = jnp.minimum(lj, 1e30)  # match forces_pallas clamp
                 rep = jnp.where(g.r < pp.r0, lj, 0.0)
             else:
                 # MKForce (forces_kernel.cu:105-133): 1D Wendland shape

@@ -193,6 +193,9 @@ def _pack(fw: SimFramework, state: ParticleState, pad_rows: int):
 
     P = jnp.stack(cols, axis=1)  # [N,16]
     P = jnp.pad(P, ((0, pad_rows), (0, NCOLS_PAD - NCOLS)))
+    # pad rows are masked out of every pair, but give them a non-zero density
+    # so no masked lane ever divides by zero (0*inf = NaN)
+    P = P.at[N:, C_RHO].set(1.0)
     return P
 
 
@@ -387,14 +390,17 @@ def _forces_cell_body(fw, grid, K, idx_ref, prow_hbm, out_ref, cen_scratch,
     if fw.repulsive_boundary:
         rep_mask = fmask * c_fluid * n_bound
         if fw.boundarytype == BoundaryType.LJ_BOUNDARY:
-            safe_r = jnp.maximum(r, 1e-12)
+            # clamp so masked garbage lanes can't overflow to inf (0*inf=NaN)
+            safe_r = jnp.maximum(r, f32(1e-3 * pp.r0))
             ratio = f32(pp.r0) / safe_r
             lj = (
                 f32(pp.dcoeff)
                 * (_powf(ratio, pp.p1coeff) - _powf(ratio, pp.p2coeff))
                 / (safe_r * safe_r)
             )
-            rep = (r < pp.r0).astype(f32) * lj
+            # finite clamp so 0-masked lanes never produce 0*inf = NaN
+            lj = jnp.minimum(lj, f32(1e30))
+            rep = jnp.where(r < f32(pp.r0), lj, 0.0)
         else:
             q = r / f32(h)
             wmk = 1.8 * (1.0 - 0.5 * q) ** 4 * (2.0 * q + 1.0)

@@ -1,22 +1,29 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set the env vars before jax initializes its backends, so this conftest
-is imported before any test module touches jax.
+The driver environment pins JAX to the axon TPU tunnel via JAX_PLATFORMS;
+that wrapper ignores a plain env override, so we clear it and force the
+platform through jax.config before any backend initializes.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the driver env presets axon/TPU
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ.pop("JAX_PLATFORMS", None)
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _check_cpu():
+    assert jax.default_backend() == "cpu", (
+        "tests must run on the virtual CPU mesh, got " + jax.default_backend()
+    )
 
 
 @pytest.fixture

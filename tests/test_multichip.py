@@ -1,0 +1,107 @@
+"""Multi-device domain decomposition vs single-device equivalence.
+
+The reference validates multi-GPU runs by byte-comparing against single-GPU
+references (`scripts/check-problem.sh` mgpu path); here we require the
+4-device sharded trajectory to match the 1-device run within f32 tolerance.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gpusph_tpu.integrator import make_sim_chunk
+from gpusph_tpu.parallel.domain import (
+    make_decomposition,
+    make_sharded_chunk,
+    shard_state,
+)
+from gpusph_tpu.problems.base import get_problem
+from jax.sharding import Mesh
+from jax.experimental import mesh_utils
+
+
+@pytest.fixture
+def small_problem():
+    P = get_problem("StillWater")(dict(ppH=8))
+    grid, state = P.build()
+    return P, grid, state
+
+
+def test_sharded_matches_single(small_problem):
+    P, grid, state = small_problem
+    fw = P.fw.finalize()
+    ndev = 4
+
+    # shard first: the single-device chunk donates its input state
+    dd = make_decomposition(grid, ndev, int(state.count_active()), state=state)
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("d",))
+    sh_state = shard_state(dd, mesh, fw, state)
+
+    # single-device trajectory
+    chunk1 = make_sim_chunk(fw, grid, use_pallas=False)
+    s1, dt1, t1, it1, stats1 = chunk1(
+        state, jnp.float32(1e-4), jnp.float32(0.0), jnp.int32(0)
+    )
+    chunkN = make_sharded_chunk(fw, dd, mesh, use_pallas=False)
+    sN, dtN, tN, itN, statsN = chunkN(
+        sh_state, jnp.float32(1e-4), jnp.float32(0.0), jnp.int32(0)
+    )
+
+    assert int(statsN.overflow) == 0
+    assert int(statsN.n_active) == int(stats1.n_active)
+    assert float(dtN) == pytest.approx(float(dt1), rel=1e-5)
+
+    # compare per-particle states by persistent id
+    def by_id(st):
+        act = np.asarray(st.active)
+        ids = np.asarray(st.id)[act]
+        order = np.argsort(ids)
+        return (
+            ids[order],
+            np.asarray(st.pos)[act][order],
+            np.asarray(st.vel)[act][order],
+            np.asarray(st.rho)[act][order],
+        )
+
+    ids1, pos1, vel1, rho1 = by_id(s1)
+    idsN, posN, velN, rhoN = by_id(sN)
+    np.testing.assert_array_equal(ids1, idsN)
+    np.testing.assert_allclose(posN, pos1, atol=1e-6)
+    np.testing.assert_allclose(velN, vel1, atol=1e-4)
+    np.testing.assert_allclose(rhoN, rho1, atol=1e-5)
+
+
+def test_sharded_multiple_chunks(small_problem):
+    """Run several chunks so migration across slabs actually happens."""
+    P, grid, state = small_problem
+    fw = P.fw.finalize()
+    ndev = 4
+
+    dd = make_decomposition(grid, ndev, int(state.count_active()), state=state)
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("d",))
+    sh = shard_state(dd, mesh, fw, state)
+    chunk1 = make_sim_chunk(fw, grid, use_pallas=False)
+    chunkN = make_sharded_chunk(fw, dd, mesh, use_pallas=False)
+
+    s1, sN = state, sh
+    dt1 = dtN = jnp.float32(1e-4)
+    t1 = tN = jnp.float32(0.0)
+    it1 = itN = jnp.int32(0)
+    for _ in range(3):
+        s1, dt1, t1, it1, _ = chunk1(s1, dt1, t1, it1)
+        sN, dtN, tN, itN, statsN = chunkN(sN, dtN, tN, itN)
+        assert int(statsN.overflow) == 0
+
+    act1 = np.asarray(s1.active)
+    actN = np.asarray(sN.active)
+    assert act1.sum() == actN.sum()
+    ids1 = np.asarray(s1.id)[act1]
+    idsN = np.asarray(sN.id)[actN]
+    o1, oN = np.argsort(ids1), np.argsort(idsN)
+    np.testing.assert_array_equal(ids1[o1], idsN[oN])
+    np.testing.assert_allclose(
+        np.asarray(sN.pos)[actN][oN], np.asarray(s1.pos)[act1][o1], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sN.rho)[actN][oN], np.asarray(s1.rho)[act1][o1], atol=1e-4
+    )
