@@ -31,22 +31,25 @@ def main():
     grid, state = P.build()
     n = int(state.count_active())
 
-    sim = Simulator(P.fw, grid)
+    sim = Simulator(P.fw, grid, bodies_specs=P.body_specs())
     dt = sim.initial_dt(state)
     import jax.numpy as jnp
+
+    from gpusph_tpu.bodies import init_bodies_state
 
     dt = jnp.float32(dt)
     t = jnp.float32(0.0)
     it = jnp.int32(0)
+    bodies = init_bodies_state(sim.bodies_specs, state)
 
     # warmup (compile + first chunks)
     for _ in range(warm_chunks):
-        state, dt, t, it, stats = sim._chunk(state, dt, t, it)
+        state, dt, t, it, bodies, stats = sim._chunk(state, dt, t, it, bodies)
     jax.block_until_ready(state.pos)
 
     t0 = time.perf_counter()
     for _ in range(bench_chunks):
-        state, dt, t, it, stats = sim._chunk(state, dt, t, it)
+        state, dt, t, it, bodies, stats = sim._chunk(state, dt, t, it, bodies)
     jax.block_until_ready(state.pos)
     elapsed = time.perf_counter() - t0
 

@@ -75,7 +75,7 @@ def main(argv=None):
     fw = problem.fw.finalize()
     outdir = args.dir or f"tests/{problem.name}_{time.strftime('%Y%m%dT%H%M%S')}"
 
-    sim = Simulator(fw, grid)
+    sim = Simulator(fw, grid, bodies_specs=problem.body_specs())
     n = int(state.count_active())
     print(f"Problem {problem.name}: {n} particles, grid {grid.ncells}")
 

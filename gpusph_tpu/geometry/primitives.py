@@ -17,10 +17,14 @@ import numpy as np
 
 
 def _lattice(lo, hi, dp):
-    """1D fill coordinates: points spaced dp covering [lo,hi], centered."""
+    """1D fill coordinates: points spaced dp inside [lo,hi], centered.
+
+    Never overshoots the interval (particles must stay inside the world
+    grid); when the span is an exact multiple of dp the lattice touches both
+    ends.
+    """
     span = hi - lo
-    n = max(1, int(np.floor(span / dp + 0.5)) + 1)
-    # center the lattice in the interval
+    n = max(1, int(np.floor(span / dp + 1e-6)) + 1)
     pad = (span - (n - 1) * dp) / 2
     return lo + pad + np.arange(n) * dp
 
@@ -186,15 +190,26 @@ def _dedup(pts: np.ndarray, dp: float) -> np.ndarray:
     return pts[np.sort(idx)]
 
 
-def rotate_z(pts: np.ndarray, center, angle: float) -> np.ndarray:
-    """Rotate points around a vertical axis through ``center``."""
+def rotate_axis(pts: np.ndarray, center, axis: int, angle: float) -> np.ndarray:
+    """Rotate points by ``angle`` about the coordinate ``axis`` through
+    ``center`` (reference EulerParameters rotations, `src/geometries/`)."""
     c, s = np.cos(angle), np.sin(angle)
+    a1, a2 = (axis + 1) % 3, (axis + 2) % 3
     ctr = np.asarray(center, np.float64)
     rel = pts - ctr
     out = rel.copy()
-    out[:, 0] = c * rel[:, 0] - s * rel[:, 1]
-    out[:, 1] = s * rel[:, 0] + c * rel[:, 1]
+    out[:, a1] = c * rel[:, a1] - s * rel[:, a2]
+    out[:, a2] = s * rel[:, a1] + c * rel[:, a2]
     return out + ctr
+
+
+def rotate_z(pts: np.ndarray, center, angle: float) -> np.ndarray:
+    """Rotate points around a vertical axis through ``center``."""
+    return rotate_axis(pts, center, 2, angle)
+
+
+def rotate_y(pts: np.ndarray, center, angle: float) -> np.ndarray:
+    return rotate_axis(pts, center, 1, angle)
 
 
 __all__ = [

@@ -26,6 +26,12 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from .bodies import (
+    apply_body_motion,
+    init_bodies_state,
+    reduce_body_forces,
+    step_bodies,
+)
 from .defs import SimFlags
 from .framework import SimFramework
 from .ops.filters import apply_filters
@@ -58,14 +64,16 @@ class CellOverflowError(RuntimeError):
 
 def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
                    steps_per_chunk: Optional[int] = None,
-                   use_pallas: Optional[bool] = None) -> Callable:
+                   use_pallas: Optional[bool] = None,
+                   bodies_specs=None) -> Callable:
     """Build the jitted chunk function for a framework + grid.
 
-    Returns ``chunk(state, dt, t, iters) -> (state, dt, t, iters, stats)``
-    advancing ``steps_per_chunk`` (default ``buildneibsfreq``) time steps
-    after one neighbor rebuild.  The forces engine is the Pallas kernel when
-    the model configuration supports it (on an actual TPU), the XLA pair
-    path otherwise.
+    Returns ``chunk(state, dt, t, iters, bodies) -> (state, dt, t, iters,
+    bodies, stats)`` advancing ``steps_per_chunk`` (default
+    ``buildneibsfreq``) time steps after one neighbor rebuild.  The forces
+    engine is the Pallas kernel when the model configuration supports it (on
+    an actual TPU), the XLA pair path otherwise.  ``bodies_specs`` enables
+    the moving/floating-body pipeline (see `gpusph_tpu.bodies`).
     """
     sp = fw.sp
     nsteps = steps_per_chunk or sp.buildneibsfreq
@@ -83,8 +91,10 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
             return compute_forces(fw, grid, state, aux, dt=dt,
                                   chunk_cells=chunk_cells)
 
+    specs = tuple(bodies_specs or ())
+
     def pc_step(carry, it):
-        state, dt, t, aux = carry
+        state, dt, t, bodies, aux = carry
 
         # density filters at their frequencies (FILTER phase,
         # PredictorCorrectorIntegrator.cc:800-877)
@@ -93,18 +103,30 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
         # PREDICTOR: forces at n, integrate to n* with dt/2
         f1 = forces(state, aux, dt)
         half = euler_step(fw, state, f1, dt * 0.5, step=1)
+        if specs:
+            b1 = reduce_body_forces(specs, state, f1.DvDt, bodies)
+            b_half = step_bodies(specs, b1, fw.pp.gravity, t, dt * 0.5)
+            half = apply_body_motion(specs, half, b_half, dt * 0.5)
 
         # CORRECTOR: forces at n*, integrate n -> n+1 with dt
         f2 = forces(half, aux, dt)
         new_state = euler_step(fw, state, f2, dt, step=2, full_dt=dt)
+        if specs:
+            b2 = reduce_body_forces(specs, half, f2.DvDt, bodies)
+            new_bodies = step_bodies(specs, b2, fw.pp.gravity, t + dt * 0.5, dt)
+            new_state = apply_body_motion(specs, new_state, new_bodies, dt)
+        else:
+            new_bodies = bodies
 
         new_dt = compute_dt(fw, f2) if adaptive else dt
-        return (new_state, new_dt, t + dt, aux), (f2.max_accel, f2.max_sspeed)
+        return (new_state, new_dt, t + dt, new_bodies, aux), (
+            f2.max_accel, f2.max_sspeed,
+        )
 
-    def chunk(state: ParticleState, dt, t, iters):
+    def chunk(state: ParticleState, dt, t, iters, bodies):
         state, aux = build_cells(grid, state)
-        (state, dt, t, _), (max_acc, max_ss) = jax.lax.scan(
-            pc_step, (state, dt, t, aux), iters + jnp.arange(nsteps)
+        (state, dt, t, bodies, _), (max_acc, max_ss) = jax.lax.scan(
+            pc_step, (state, dt, t, bodies, aux), iters + jnp.arange(nsteps)
         )
         stats = StepStats(
             max_occupancy=aux.max_occupancy,
@@ -113,7 +135,7 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
             max_accel=max_acc[-1],
             max_sspeed=max_ss[-1],
         )
-        return state, dt, t, iters + nsteps, stats
+        return state, dt, t, iters + nsteps, bodies, stats
 
     return jax.jit(chunk, donate_argnums=(0,))
 
@@ -128,18 +150,20 @@ class Simulator:
     grid: CellGrid
     chunk_cells: int = 256
     use_pallas: Optional[bool] = None
+    bodies_specs: tuple = ()
 
     def __post_init__(self):
         self.fw = self.fw.finalize()
         self._chunk = make_sim_chunk(
             self.fw, self.grid, chunk_cells=self.chunk_cells,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, bodies_specs=self.bodies_specs,
         )
         self.iterations = 0
         self.t = 0.0
         self.dt = self.fw.sp.dt
         self.particle_steps = 0
         self.elapsed = 0.0
+        self.bodies = None  # BodiesState, created at run() from the state
 
     def initial_dt(self, state: ParticleState):
         """Initial dt: 0.1 h/c0 like the reference default when dt not set."""
@@ -169,12 +193,17 @@ class Simulator:
         iters = jnp.int32(self.iterations)
         next_write = self.t + write_every if write_every > 0 else float("inf")
 
+        if self.bodies is None:
+            self.bodies = init_bodies_state(self.bodies_specs, state)
+
         if on_write is not None:
             on_write(self, state)
 
         while True:
             t0 = time.perf_counter()
-            state, dt, t, iters, stats = self._chunk(state, dt, t, iters)
+            state, dt, t, iters, self.bodies, stats = self._chunk(
+                state, dt, t, iters, self.bodies
+            )
             stats = jax.device_get(stats)
             self.elapsed += time.perf_counter() - t0
 

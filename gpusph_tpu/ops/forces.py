@@ -196,6 +196,12 @@ def compute_forces(
 
         # --- momentum: pressure gradient -----------------------------------
         mom_mask = g.mask & c_fluid & (n_fluid | n_bound if dyn else n_fluid)
+        if fw.has_moving_bodies:
+            # body force feedback: boundary centrals accumulate the
+            # hydrodynamic terms from fluid neighbors (rbforces path,
+            # forces_kernel.def COMPUTE_FORCE handling); euler ignores
+            # boundary DvDt, the bodies subsystem reduces it per object
+            mom_mask = mom_mask | (g.mask & c_bound & n_fluid)
         if fw.sph_formulation == SPHFormulation.SPH_F2:
             pgrad = (c["press"] + n["press"]) / (rho_c * rho_n)
         else:
@@ -315,8 +321,11 @@ def compute_forces(
         jnp.stack([gx, gy, gz])[None, :],
         0.0,
     )
-    # boundary particles never accelerate (their velocity is imposed)
-    DvDt = jnp.where(is_fluid_c[:, None], DvDt, 0.0)
+    if not fw.has_moving_bodies:
+        # boundary particles never accelerate (their velocity is imposed);
+        # with moving bodies their rows carry the hydrodynamic force for the
+        # per-body reduction (euler still never integrates them)
+        DvDt = jnp.where(is_fluid_c[:, None], DvDt, 0.0)
     # convert physical DrDt to relative-density rate (forces_kernel.def:4581)
     rho0 = eos._per_fluid(fw.pp, fields["f_num"], [f.rho0 for f in fw.pp.fluids])
     DrDt = sums["DrDt"] / rho0

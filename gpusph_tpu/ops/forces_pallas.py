@@ -357,6 +357,9 @@ def _forces_cell_body(fw, grid, K, idx_ref, prow_hbm, out_ref, cen_scratch,
         mom = fmask * c_fluid * (n_fluid + n_bound - n_fluid * n_bound)
     else:
         mom = fmask * c_fluid * n_fluid
+    if fw.has_moving_bodies:
+        # body force feedback: boundary centrals vs fluid neighbors
+        mom = mom + fmask * c_bound * n_fluid
     if fw.sph_formulation == SPHFormulation.SPH_F2:
         pgrad = (ccol(C_PRESS) + wrow(C_PRESS)) / (rho_c * rho_n)
     else:
@@ -495,7 +498,9 @@ def compute_forces_pallas(
     is_fluid_c = ptype == ParticleType.FLUID
     f_num = fluid_num(state.info)
     gvec = jnp.asarray(pp.gravity, jnp.float32)
-    DvDt = jnp.where(is_fluid_c[:, None], DvDt + gvec[None, :], 0.0)
+    DvDt = jnp.where(is_fluid_c[:, None], DvDt + gvec[None, :], DvDt)
+    if not fw.has_moving_bodies:
+        DvDt = jnp.where(is_fluid_c[:, None], DvDt, 0.0)
     rho0 = eos._per_fluid(pp, f_num, [f.rho0 for f in pp.fluids])
     DrDt = DrDt_phys / rho0
 

@@ -294,12 +294,58 @@ class Problem:
         rt = eos.hydrostatic_density(self.fw.pp, jnp.asarray(depth, jnp.float32), fluid_idx)
         return np.asarray(rt, np.float64)
 
+    # --- bodies ------------------------------------------------------------
+    def set_body_motion(self, geom_id: int, motion):
+        """Prescribed traceable kinematics ``motion(t) -> (linvel, angvel)``
+        for a moving body (reference `moving_bodies_callback`)."""
+        self.body_motion[geom_id] = motion
+
+    def body_specs(self):
+        """BodySpec list for MOVING/FLOATING geometries (built during
+        ``build()``, which assigns the object indices)."""
+        from ..bodies import BodySpec
+
+        specs = []
+        for gid, g in enumerate(self.geometries):
+            if g.gtype not in (GeometryType.MOVING_BODY, GeometryType.FLOATING_BODY):
+                continue
+            n = max(1, len(g.points))
+            mass = (g.mass if g.mass is not None else
+                    (g.density or self.fw.pp.fluids[0].rho0) * self.deltap**3)
+            total_mass = mass * n
+            # crude inertia from the particle cloud (diagonal)
+            pts = g.points - g.points.mean(axis=0)
+            inertia = tuple(
+                float(mass * ((pts**2).sum() - (pts[:, a] ** 2).sum()))
+                for a in range(3)
+            )
+            inertia = tuple(max(i, 1e-9) for i in inertia)
+            specs.append(
+                BodySpec(
+                    object_idx=g.object_idx,
+                    mass=total_mass,
+                    inertia=inertia,
+                    floating=g.gtype == GeometryType.FLOATING_BODY,
+                    motion=self.body_motion.get(gid),
+                )
+            )
+        return tuple(specs)
+
     # --- build -------------------------------------------------------------
     def num_particles(self) -> int:
         return sum(len(g.points) for g in self.geometries)
 
     def build(self, capacity: Optional[int] = None) -> Tuple[CellGrid, ParticleState]:
         """Assemble grid + initial particle state (fill_parts + copy_to_array)."""
+        from ..defs import SimFlags
+
+        if any(
+            g.gtype in (GeometryType.MOVING_BODY, GeometryType.FLOATING_BODY)
+            for g in self.geometries
+        ):
+            self.fw = dataclasses.replace(
+                self.fw, flags=self.fw.flags | SimFlags.ENABLE_MOVING_BODIES
+            )
         self.fw = self.fw.finalize()
         dp = self.deltap
         if dp <= 0:

@@ -5,6 +5,7 @@ match the reference so the validation scripts' expectations carry over.
 from __future__ import annotations
 
 import math
+from dataclasses import replace as dataclasses_replace
 
 import numpy as np
 
@@ -277,6 +278,120 @@ class StillWater(Problem):
         self.add_writer(freq=0.1)
 
 
+class WaveTank(Problem):
+    """Wave tank with a rotating paddle wavemaker and a beach slope
+    (reference `src/problems/WaveTank.cu:100-220`): flap hinged at the
+    bottom, angular velocity A*Omega*sin(Omega (t-t0)) within
+    [tstart, tend]; wave gages along the centerline."""
+
+    name = "WaveTank"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        import jax.numpy as jnp
+
+        H = self.get_option("water_height", 0.45)
+        h_length = self.get_option("flat_length", 2.25)
+        beta = math.atan(self.get_option("slope", 0.25))
+        ly = self.get_option("width", 0.6)
+        stroke = self.get_option("stroke", 0.2)
+        period = self.get_option("period", 0.8)
+        paddle_x = 0.25
+        tstart = self.get_option("paddle_tstart", 0.2)
+        tstop = self.get_option("paddle_tend", 30.0)
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            rheology=RheologyType.INVISCID,
+            turbulence_model=TurbulenceModel.ARTIFICIAL,
+            density_diffusion=DensityDiffusionType.COLAGROSSI,
+            simparams=SimParams(densityDiffCoeff=0.1),
+        )
+        self.set_deltap(self.get_option("deltap", 0.02))
+        dp = self.deltap
+        self.set_gravity(-9.81)
+        self.set_max_fall(H)
+        fl = self.add_fluid(1000.0)
+        self.set_equation_of_state(fl, 7.0, 10 * math.sqrt(2 * 9.81 * H))
+        self.set_tend(self.get_option("tend", 10.0))
+        self.add_writer(freq=0.05)
+
+        # domain: flat section + beach rising to above still water level
+        slope_run = (H + 10 * dp) / math.tan(beta)
+        lx = h_length + slope_run + 0.1
+        lz = H + 0.3
+        layers = self.dyn_layers
+        wall = layers * dp
+        self.make_universe_box((-wall, -wall, -wall), (lx + 2 * wall, ly + 2 * wall, lz + wall))
+
+        # tank floor (flat part) + side walls
+        self.add_points(
+            GeometryType.FIXED_BOUNDARY,
+            geo.fill_box((0, 0, -(layers - 1) * dp), (h_length, ly, (layers - 1) * dp), dp),
+        )
+        for y in (0.0, ly):
+            self.add_points(
+                GeometryType.FIXED_BOUNDARY,
+                geo.fill_box((0, y, dp), (lx, 0.0, lz - dp), dp),
+            )
+        # beach: sloped slab from (h_length, 0) rising at angle beta
+        slab = geo.fill_box((0, 0, -(layers - 1) * dp),
+                            (slope_run / math.cos(beta), ly, (layers - 1) * dp), dp)
+        slab = geo.rotate_y(slab, (0, 0, 0), -beta)
+        slab[:, 0] += h_length
+        self.add_points(GeometryType.FIXED_BOUNDARY, slab)
+
+        # paddle: thin vertical flap hinged at the bottom
+        paddle = self.add_box(
+            GeometryType.MOVING_BODY, FillType.SOLID,
+            (paddle_x - dp / 2, dp, 0.0), dp / 2, ly - 2 * dp, H + 0.15,
+        )
+        amplitude = math.atan(stroke / (2.0 * H))
+        omega = 2.0 * math.pi / period
+
+        def paddle_motion(t):
+            on = (t > tstart) & (t < tstop)
+            av_y = jnp.where(
+                on, amplitude * omega * jnp.sin(omega * (t - tstart)), 0.0
+            )
+            zeros = jnp.zeros(3, jnp.float32)
+            return zeros, jnp.stack([0.0 * av_y, av_y, 0.0 * av_y])
+
+        self.set_body_motion(paddle, paddle_motion)
+        # hinge at the tank floor
+        self.geometries[paddle].mass = None
+        self._paddle_hinge = (paddle_x, ly / 2, 0.0)
+
+        # water: from the paddle to where the beach reaches the surface
+        x_water_end = h_length + H / math.tan(beta)
+        self.add_points(
+            GeometryType.FLUID,
+            geo.fill_box(
+                (paddle_x + dp, dp, dp),
+                (x_water_end - paddle_x - dp, ly - 2 * dp, H - dp),
+                dp,
+            ),
+        )
+        # carve the beach out of the water
+        tanb = math.tan(beta)
+        self.erase_fluid_inside(
+            lambda p: p[:, 2] < (p[:, 0] - h_length) * tanb + 0.5 * dp
+        )
+        self.set_water_level(H)
+
+        for xg in (1.0, 1.5, 2.0):
+            self.add_gage(xg, ly / 2)
+
+    def body_specs(self):
+        specs = super().body_specs()
+        # hinge the paddle at the tank floor rather than its mass center
+        return tuple(
+            dataclasses_replace(s, rotation_center=self._paddle_hinge)
+            for s in specs
+        )
+
+
 def _tank_points(origin, inner_size, dp, layers):
     """Open-top tank: floor + 4 walls, ``layers`` thick, inner surface at the
     given box; layers grow outward (away from the fluid)."""
@@ -303,4 +418,4 @@ def _tank_points(origin, inner_size, dp, layers):
     return geo._dedup(np.concatenate(pts), dp)
 
 
-__all__ = ["DamBreak3D", "Poiseuille", "StillWater"]
+__all__ = ["DamBreak3D", "Poiseuille", "StillWater", "WaveTank"]

@@ -38,9 +38,12 @@ def test_sharded_matches_single(small_problem):
     sh_state = shard_state(dd, mesh, fw, state)
 
     # single-device trajectory
+    from gpusph_tpu.bodies import init_bodies_state
+
     chunk1 = make_sim_chunk(fw, grid, use_pallas=False)
-    s1, dt1, t1, it1, stats1 = chunk1(
-        state, jnp.float32(1e-4), jnp.float32(0.0), jnp.int32(0)
+    s1, dt1, t1, it1, _, stats1 = chunk1(
+        state, jnp.float32(1e-4), jnp.float32(0.0), jnp.int32(0),
+        init_bodies_state((), state),
     )
     chunkN = make_sharded_chunk(fw, dd, mesh, use_pallas=False)
     sN, dtN, tN, itN, statsN = chunkN(
@@ -83,12 +86,15 @@ def test_sharded_multiple_chunks(small_problem):
     chunk1 = make_sim_chunk(fw, grid, use_pallas=False)
     chunkN = make_sharded_chunk(fw, dd, mesh, use_pallas=False)
 
+    from gpusph_tpu.bodies import init_bodies_state
+
     s1, sN = state, sh
+    b1 = init_bodies_state((), state)
     dt1 = dtN = jnp.float32(1e-4)
     t1 = tN = jnp.float32(0.0)
     it1 = itN = jnp.int32(0)
     for _ in range(3):
-        s1, dt1, t1, it1, _ = chunk1(s1, dt1, t1, it1)
+        s1, dt1, t1, it1, b1, _ = chunk1(s1, dt1, t1, it1, b1)
         sN, dtN, tN, itN, statsN = chunkN(sN, dtN, tN, itN)
         assert int(statsN.overflow) == 0
 

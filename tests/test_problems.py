@@ -1,0 +1,63 @@
+"""Problem-catalog construction smoke tests + short runs."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from gpusph_tpu.problems.base import PROBLEM_REGISTRY, get_problem
+from gpusph_tpu.state import is_boundary, is_fluid
+
+
+def build(name, opts):
+    P = get_problem(name)(opts)
+    grid, state = P.build()
+    return P, grid, state
+
+
+def test_dambreak_build():
+    P, grid, state = build("DamBreak3D", dict(deltap=0.04))
+    n = int(state.count_active())
+    assert n > 2000
+    nf = int(jnp.sum(is_fluid(state.info) & state.active))
+    nb = int(jnp.sum(is_boundary(state.info) & state.active))
+    assert nf > 0 and nb > 0
+    # all particles inside the world
+    pos = np.asarray(state.pos)[np.asarray(state.active)]
+    assert (pos >= np.asarray(grid.origin) - 1e-6).all()
+    hi = np.asarray(grid.origin) + np.asarray(grid.world_size)
+    assert (pos <= hi + 1e-6).all()
+    # obstacle is a moving body with feedback
+    specs = P.body_specs()
+    assert len(specs) == 1 and not specs[0].floating
+
+
+def test_poiseuille_build():
+    P, grid, state = build("Poiseuille", dict(ppH=12))
+    nf = int(jnp.sum(is_fluid(state.info) & state.active))
+    assert nf == 12 * 12 * 11  # 12x12 in-plane lattice, 11 z-planes
+    # fluid strictly between the plates
+    act = np.asarray(state.active & is_fluid(state.info))
+    z = np.asarray(state.pos)[act, 2]
+    assert z.min() > -0.5 and z.max() < 0.5
+
+
+def test_wavetank_build_and_steps():
+    P, grid, state = build("WaveTank", dict(deltap=0.05, tend=0.1))
+    assert int(state.count_active()) > 1000
+    specs = P.body_specs()
+    assert len(specs) == 1
+    assert specs[0].motion is not None
+    assert specs[0].rotation_center is not None
+
+    # a few steps must run without blowup, paddle starts moving
+    from gpusph_tpu.integrator import Simulator
+
+    sim = Simulator(P.fw, grid, use_pallas=False, bodies_specs=specs)
+    st = sim.run(state, tend=0.0, maxiter=10)
+    assert not bool(jnp.any(jnp.isnan(st.pos)))
+
+
+def test_registry_has_catalog():
+    from gpusph_tpu.problems import catalog  # noqa: F401
+
+    for name in ("DamBreak3D", "Poiseuille", "StillWater", "WaveTank"):
+        assert name in PROBLEM_REGISTRY
