@@ -32,8 +32,9 @@ from .bodies import (
     reduce_body_forces,
     step_bodies,
 )
-from .defs import SimFlags
+from .defs import SimFlags, TurbulenceModel
 from .framework import SimFramework
+from .ops.visc import effective_viscosity, sps_stress
 from .ops.filters import apply_filters
 from .ops.forces import compute_forces
 from .ops.forces_pallas import compute_forces_pallas, pallas_supported
@@ -83,13 +84,33 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
             pallas_supported(fw, grid) and jax.default_backend() != "cpu"
         )
 
+    needs_sps = fw.visc.turbmodel == TurbulenceModel.SPS
+    needs_effvisc = fw.visc.needs_effective_visc
+
+    def calc_visc(state, aux):
+        """CALC_VISC phase: ephemeral viscosity-engine outputs recomputed
+        before each forces pass (PredictorCorrectorIntegrator.cc:386-430)."""
+        sps_tau = effvisc = None
+        if needs_sps:
+            sps_tau, _ = sps_stress(fw, grid, state, aux, chunk_cells=chunk_cells)
+        if needs_effvisc:
+            effvisc = effective_viscosity(
+                fw, grid, state, aux,
+                effpres=state.extra("effpres"), chunk_cells=chunk_cells,
+            )
+        return sps_tau, effvisc
+
     if use_pallas:
         def forces(state, aux, dt):
-            return compute_forces_pallas(fw, grid, state, aux, dt=dt)
+            sps_tau, effvisc = calc_visc(state, aux)
+            return compute_forces_pallas(fw, grid, state, aux, dt=dt,
+                                         sps_tau=sps_tau, effvisc=effvisc)
     else:
         def forces(state, aux, dt):
+            sps_tau, effvisc = calc_visc(state, aux)
             return compute_forces(fw, grid, state, aux, dt=dt,
-                                  chunk_cells=chunk_cells)
+                                  chunk_cells=chunk_cells,
+                                  sps_tau=sps_tau, effvisc=effvisc)
 
     specs = tuple(bodies_specs or ())
 

@@ -95,8 +95,13 @@ def _avg(avgop: AverageOperator, a, b):
     return jnp.sqrt(a * b)
 
 
-def _pair_fields(fw: SimFramework, state: ParticleState):
-    """Per-particle precomputed scalar fields fed to the pair pass."""
+def _pair_fields(fw: SimFramework, state: ParticleState, sps_tau=None,
+                 effvisc=None):
+    """Per-particle precomputed scalar fields fed to the pair pass.
+
+    ``sps_tau``/``effvisc`` are the ephemeral per-step outputs of the
+    viscosity engine (the reference's EPHEMERAL_BUFFERS, recomputed before
+    every forces call by the CALC_VISC command)."""
     pp = fw.pp
     f_num = fluid_num(state.info)
     ptype = part_type(state.info)
@@ -120,18 +125,16 @@ def _pair_fields(fw: SimFramework, state: ParticleState):
     # per-particle dynamic viscosity for the laminar term
     if not fw.is_inviscid:
         visccoeff = eos._per_fluid(pp, f_num, [f.kinematic_visc for f in pp.fluids])
-        effvisc = state.extra("effvisc")
         if effvisc is not None:
             # shear-dependent rheologies: effective *kinematic* viscosity
             visccoeff = effvisc
         fields["dyn_visc"] = visccoeff * rho_phys
         fields["kinvisc"] = visccoeff
     if fw.visc.turbmodel == TurbulenceModel.SPS:
-        tau = state.extra("sps_tau")
-        if tau is None:
-            tau = jnp.zeros((state.capacity, 6), jnp.float32)
+        if sps_tau is None:
+            sps_tau = jnp.zeros((state.capacity, 6), jnp.float32)
         for c in range(6):
-            fields[f"sps_tau{c}"] = tau[:, c]
+            fields[f"sps_tau{c}"] = sps_tau[:, c]
     return fields
 
 
@@ -143,11 +146,13 @@ def compute_forces(
     *,
     dt: Optional[jax.Array] = None,
     chunk_cells: int = 256,
+    sps_tau=None,
+    effvisc=None,
 ) -> ForcesOut:
     """One forces pass over the (sorted) particle state."""
     sp, pp = fw.sp, fw.pp
     h = sp.slength
-    fields = _pair_fields(fw, state)
+    fields = _pair_fields(fw, state, sps_tau=sps_tau, effvisc=effvisc)
 
     gx, gy, gz = (jnp.float32(g) for g in pp.gravity)
     eps = pp.epsartvisc

@@ -155,7 +155,8 @@ def build_run_table(fw: SimFramework, grid: CellGrid, aux: CellAux, K: int):
     return table
 
 
-def _pack(fw: SimFramework, state: ParticleState, pad_rows: int):
+def _pack(fw: SimFramework, state: ParticleState, pad_rows: int,
+          effvisc=None):
     """Pack per-particle data into the [Npad, 128] row-major array."""
     pp = fw.pp
     f_num = fluid_num(state.info)
@@ -181,7 +182,6 @@ def _pack(fw: SimFramework, state: ParticleState, pad_rows: int):
     cols[C_BOUND] = (ptype == ParticleType.BOUNDARY).astype(jnp.float32)
     if not fw.is_inviscid:
         kinvisc = eos._per_fluid(pp, f_num, [f.kinematic_visc for f in pp.fluids])
-        effvisc = state.extra("effvisc")
         if effvisc is not None:
             kinvisc = effvisc
         cols[C_DVISC] = kinvisc * rho_phys
@@ -439,6 +439,8 @@ def compute_forces_pallas(
     aux: CellAux,
     *,
     dt: Optional[jax.Array] = None,
+    sps_tau=None,
+    effvisc=None,
 ) -> ForcesOut:
     """Pallas-accelerated forces pass (same contract as compute_forces)."""
     sp, pp = fw.sp, fw.pp
@@ -449,7 +451,7 @@ def compute_forces_pallas(
     N = state.capacity
 
     table = build_run_table(fw, grid, aux, K)
-    prow = _pack(fw, state, pad_rows=RUN)
+    prow = _pack(fw, state, pad_rows=RUN, effvisc=effvisc)
 
     kernel = functools.partial(_forces_kernel, fw, grid, K)
     # interpreter mode on CPU lets the unit tests validate the kernel logic
@@ -510,7 +512,6 @@ def compute_forces_pallas(
     max_sspeed = jnp.max(jnp.where(is_fluid_c, sspeed, 0.0))
     if not fw.is_inviscid:
         kinvisc = eos._per_fluid(pp, f_num, [f.kinematic_visc for f in pp.fluids])
-        effvisc = state.extra("effvisc")
         if effvisc is not None:
             kinvisc = effvisc
         max_kinvisc = jnp.max(jnp.where(is_fluid_c, kinvisc, 0.0))
