@@ -169,12 +169,13 @@ class Problem:
         self.water_level = level
 
     def add_fluid(self, rho0: float):
-        """Append a fluid (reference `ProblemCore::add_fluid`)."""
-        fluids = self.fw.pp.fluids
-        if len(fluids) == 1 and fluids[0] == Fluid():
+        """Append a fluid (reference `ProblemCore::add_fluid`).  The first
+        call replaces the placeholder default fluid."""
+        self._fluids_added = getattr(self, "_fluids_added", 0) + 1
+        if self._fluids_added == 1:
             new = (Fluid(rho0=rho0),)
         else:
-            new = fluids + (Fluid(rho0=rho0),)
+            new = self.fw.pp.fluids + (Fluid(rho0=rho0),)
         self._update_pp(fluids=new)
         return len(new) - 1
 
@@ -391,7 +392,9 @@ class Problem:
                 ptype = ParticleType.BOUNDARY
                 obj_idx += 1
                 g.object_idx = obj_idx
-                flags = FG_MOVING_BOUNDARY | (FG_COMPUTE_FORCE if g.feedback else 0)
+                # floating bodies always need the fluid-force feedback
+                feedback = g.feedback or g.gtype == GeometryType.FLOATING_BODY
+                flags = FG_MOVING_BOUNDARY | (FG_COMPUTE_FORCE if feedback else 0)
                 fluid_or_obj = obj_idx
             elif g.gtype == GeometryType.TESTPOINT:
                 ptype = ParticleType.TESTPOINT

@@ -24,6 +24,7 @@ from ..defs import (
 )
 from ..geometry import primitives as geo
 from ..params import SimParams
+from ..defs import SPHFormulation
 from .base import FillType, GeometryType, Problem
 
 
@@ -392,6 +393,228 @@ class WaveTank(Problem):
         )
 
 
+class LockExchange(Problem):
+    """Two-fluid gravity current (reference `src/problems/LockExchange.cu`):
+    heavy fluid behind a virtual gate at dimX/2, light fluid ahead; SPH_F2
+    multifluid formulation (the reference defaults to Grenier with F2 as the
+    documented alternative).  DYN boundaries, artificial viscosity."""
+
+    name = "LockExchange"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        dimX, dimY, dimZ = 0.6, 0.23, 0.2
+        rho_light = self.get_option("rho0", 1000.0)
+        rho_heavy = self.get_option("rho1", 1100.0)
+        ppH = self.get_option("ppH", 32)
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            formulation=SPHFormulation.SPH_F2,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            rheology=RheologyType.INVISCID,
+            turbulence_model=TurbulenceModel.ARTIFICIAL,
+            flags=SimFlags.ENABLE_DTADAPT | SimFlags.ENABLE_MULTIFLUID,
+            simparams=SimParams(max_parts_per_cell=56),
+        )
+        self.set_deltap(dimZ / ppH)
+        dp = self.deltap
+        self.set_gravity(-9.81)
+        self.set_max_fall(dimZ)
+        light = self.add_fluid(rho_light)
+        heavy = self.add_fluid(rho_heavy)
+        self.set_equation_of_state(light, 7.0, 20.0)
+        self.set_equation_of_state(heavy, 7.0, 20.0)
+        self.set_tend(self.get_option("tend", 2.0))
+        self.add_writer(freq=0.02)
+
+        self.make_universe_box((0, 0, 0), (dimX, dimY, dimZ))
+        self.add_box(GeometryType.FIXED_BOUNDARY, FillType.BORDER,
+                     (0, 0, 0), dimX, dimY, dimZ)
+        bd = dp * self.dyn_layers
+        self.add_box(
+            GeometryType.FLUID, FillType.SOLID,
+            (bd, bd, bd), dimX / 2 - bd, dimY - 2 * bd, dimZ - 2 * bd,
+            fluid_idx=light,
+        )
+        self.add_box(
+            GeometryType.FLUID, FillType.SOLID,
+            (dimX / 2 + dp, bd, bd),
+            dimX / 2 - bd - dp, dimY - 2 * bd, dimZ - 2 * bd,
+            fluid_idx=heavy,
+        )
+
+    def initial_density(self, pts, fluid_idx):
+        # multifluid: hydrostatic filling is done per fluid by hand in the
+        # reference; rest density is the safe default here
+        return np.zeros(len(pts))
+
+
+class OpenChannel(Problem):
+    """Uniform open-channel flow driven by a tilted-gravity body force
+    (reference `src/problems/OpenChannel.cu`): periodic along the flow,
+    DYN walls, free surface."""
+
+    name = "OpenChannel"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        l, w, h = 1.0, 0.5, 0.25  # channel length/width/water depth
+        ppH = self.get_option("ppH", 16)
+        angle = self.get_option("angle_deg", 4.5) * math.pi / 180.0
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            rheology=RheologyType.NEWTONIAN,
+            turbulence_model=TurbulenceModel.LAMINAR_FLOW,
+            periodicity=Periodicity.X,
+        )
+        self.set_deltap(h / ppH)
+        dp = self.deltap
+        g = 9.81
+        # tilt gravity: downslope component drives the flow
+        self.set_gravity((g * math.sin(angle), 0.0, -g * math.cos(angle)))
+        self.set_max_fall(h)
+        fl = self.add_fluid(1000.0)
+        self.set_kinematic_visc(fl, 1.0e-4)
+        self.set_equation_of_state(fl, 7.0, 10 * math.sqrt(g * h))
+        self.set_tend(self.get_option("tend", 10.0))
+        self.add_writer(freq=0.1)
+
+        layers = self.dyn_layers
+        wall = layers * dp
+        lz = h + 0.15
+        self.make_universe_box((0, -wall, -wall), (l, w + 2 * wall, lz + wall))
+        # floor + side walls (x-periodic: no end walls)
+        self.add_points(
+            GeometryType.FIXED_BOUNDARY,
+            geo.fill_box((dp / 2, 0, -(layers - 1) * dp), (l - dp, w, (layers - 1) * dp), dp),
+        )
+        for y in (0.0, w):
+            self.add_points(
+                GeometryType.FIXED_BOUNDARY,
+                geo.fill_box((dp / 2, y, dp), (l - dp, 0.0, lz - dp), dp),
+            )
+        self.add_points(
+            GeometryType.FLUID,
+            geo.fill_box((dp / 2, dp, dp), (l - dp, w - 2 * dp, h - dp), dp),
+        )
+        self.set_water_level(h)
+
+
+class BuoyancyTest(Problem):
+    """Floating-body buoyancy test (reference `src/problems/BuoyancyTest.cu`):
+    a half-density cube released inside a water tank must rise and bob."""
+
+    name = "BuoyancyTest"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        side = 1.0
+        H = self.get_option("water_height", 0.7)
+        cube = self.get_option("object_side", 0.12)
+        ppH = self.get_option("ppH", 24)
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            rheology=RheologyType.INVISCID,
+            turbulence_model=TurbulenceModel.ARTIFICIAL,
+            density_diffusion=DensityDiffusionType.COLAGROSSI,
+            simparams=SimParams(densityDiffCoeff=0.1),
+        )
+        self.set_deltap(H / ppH)
+        dp = self.deltap
+        self.set_gravity(-9.81)
+        self.set_max_fall(H)
+        fl = self.add_fluid(1000.0)
+        self.set_equation_of_state(fl, 7.0, 10 * math.sqrt(2 * 9.81 * H))
+        self.set_tend(self.get_option("tend", 3.0))
+        self.add_writer(freq=0.02)
+
+        layers = self.dyn_layers
+        wall = layers * dp
+        box = (side + 2 * wall, side + 2 * wall, H + 0.4)
+        self.make_universe_box((-wall, -wall, -wall), box)
+        self.add_points(
+            GeometryType.FIXED_BOUNDARY,
+            _tank_points((0, 0, 0), (side, side, box[2] - wall), dp, layers),
+        )
+        self.add_box(
+            GeometryType.FLUID, FillType.SOLID,
+            (dp, dp, dp), side - 2 * dp, side - 2 * dp, H - dp,
+        )
+        # floating cube just below the surface, half water density
+        c0 = (side / 2 - cube / 2, side / 2 - cube / 2, H - cube)
+        body = self.add_box(
+            GeometryType.FLOATING_BODY, FillType.BORDER,
+            c0, cube, cube, cube,
+        )
+        rho_body = 1000.0 / 2
+        self.geometries[body].density = rho_body
+        n_parts = max(1, len(self.geometries[body].points))
+        self.geometries[body].mass = rho_body * cube**3 / n_parts
+        self.erase_fluid_inside(
+            geo.box_predicate(c0, (cube, cube, cube), margin=dp / 2)
+        )
+        self.set_water_level(H)
+
+
+class DamBreakGate(Problem):
+    """Dam break released by a lifting gate (reference
+    `src/problems/DamBreakGate.cu`): like DamBreak3D but the water is held
+    by a moving-body gate that slides upward at t>=0.1s."""
+
+    name = "DamBreakGate"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        import jax.numpy as jnp
+
+        dim = (1.6, 0.67, 0.6)
+        H = 0.4
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            rheology=RheologyType.INVISCID,
+            turbulence_model=TurbulenceModel.ARTIFICIAL,
+            density_diffusion=DensityDiffusionType.COLAGROSSI,
+            simparams=SimParams(densityDiffCoeff=0.1),
+        )
+        self.set_deltap(self.get_option("deltap", 0.02))
+        dp = self.deltap
+        self.set_gravity(-9.81)
+        self.set_max_fall(H)
+        self.add_fluid(1000.0)
+        self.set_equation_of_state(0, 7.0, 20.0)
+        self.set_tend(self.get_option("tend", 1.5))
+        self.add_writer(freq=0.01)
+
+        self.make_universe_box((0.0, 0.0, 0.0), dim)
+        self.add_box(GeometryType.FIXED_BOUNDARY, FillType.BORDER,
+                     (0, 0, 0), *dim, open_top=True)
+        bd = dp * self.dyn_layers
+        self.add_box(
+            GeometryType.FLUID, FillType.SOLID,
+            (bd, bd, bd), 0.4 - bd, dim[1] - 2 * bd, H - bd,
+        )
+        self.set_water_level(H)
+
+        # gate: thin wall at x=0.4 sliding up with v=1.5 m/s after t=0.1
+        gate = self.add_box(
+            GeometryType.MOVING_BODY, FillType.SOLID,
+            (0.4, bd, bd), dp / 2, dim[1] - 2 * bd, H + 0.1,
+        )
+
+        def gate_motion(t):
+            vz = jnp.where(t >= 0.1, 1.5, 0.0)
+            z = jnp.zeros((), jnp.float32)
+            return jnp.stack([z, z, vz]), jnp.zeros(3, jnp.float32)
+
+        self.set_body_motion(gate, gate_motion)
+
+
 def _tank_points(origin, inner_size, dp, layers):
     """Open-top tank: floor + 4 walls, ``layers`` thick, inner surface at the
     given box; layers grow outward (away from the fluid)."""
@@ -418,4 +641,5 @@ def _tank_points(origin, inner_size, dp, layers):
     return geo._dedup(np.concatenate(pts), dp)
 
 
-__all__ = ["DamBreak3D", "Poiseuille", "StillWater", "WaveTank"]
+__all__ = ["DamBreak3D", "Poiseuille", "StillWater", "WaveTank",
+           "LockExchange", "OpenChannel", "BuoyancyTest", "DamBreakGate"]

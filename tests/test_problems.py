@@ -59,5 +59,37 @@ def test_wavetank_build_and_steps():
 def test_registry_has_catalog():
     from gpusph_tpu.problems import catalog  # noqa: F401
 
-    for name in ("DamBreak3D", "Poiseuille", "StillWater", "WaveTank"):
+    for name in (
+        "DamBreak3D", "Poiseuille", "StillWater", "WaveTank",
+        "LockExchange", "OpenChannel", "BuoyancyTest", "DamBreakGate",
+    ):
         assert name in PROBLEM_REGISTRY
+
+
+def test_lockexchange_two_fluids_run():
+    P, grid, state = build("LockExchange", dict(ppH=10))
+    from gpusph_tpu.integrator import Simulator
+    from gpusph_tpu.state import fluid_num
+
+    fl = np.asarray(fluid_num(state.info))[np.asarray(state.active & is_fluid(state.info))]
+    assert (fl == 0).any() and (fl == 1).any()
+    sim = Simulator(P.fw, grid, use_pallas=False)
+    st = sim.run(state, tend=0.0, maxiter=10)
+    assert not bool(jnp.any(jnp.isnan(st.vel)))
+
+
+def test_buoyancy_floating_body_rises():
+    P, grid, state = build("BuoyancyTest", dict(ppH=10, tend=0.2))
+    from gpusph_tpu.integrator import Simulator
+    from gpusph_tpu.state import FG_MOVING_BOUNDARY, has_flag
+
+    specs = P.body_specs()
+    assert specs and specs[0].floating
+    body = np.asarray(has_flag(state.info, FG_MOVING_BOUNDARY))
+    z0 = np.asarray(state.pos)[body, 2].mean()
+    sim = Simulator(P.fw, grid, use_pallas=False, bodies_specs=specs)
+    st = sim.run(state, tend=0.0, maxiter=40)
+    z1 = np.asarray(st.pos)[np.asarray(has_flag(st.info, FG_MOVING_BOUNDARY)), 2].mean()
+    assert not bool(jnp.any(jnp.isnan(st.pos)))
+    # half-density cube under water must accelerate upward
+    assert z1 > z0 - 1e-4
