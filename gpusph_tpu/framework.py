@@ -73,6 +73,9 @@ class SimFramework:
     filters: Tuple[Tuple[FilterType, int], ...] = ()
     # enabled post-processing passes
     postprocess: Tuple[PostProcessType, ...] = ()
+    # geometric plane boundaries ((point3, normal3), ...) for ENABLE_PLANES
+    # (reference `src/planes.h`, GeometryForce `forces_kernel.cu:190-210`)
+    planes: Tuple[Tuple[Tuple[float, float, float], Tuple[float, float, float]], ...] = ()
 
     def __post_init__(self):
         self.validate()

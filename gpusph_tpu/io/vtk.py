@@ -36,6 +36,15 @@ class VTKWriter:
 
         fields = {k: v for k, v in arrays.items() if k != "pos"}
 
+        # single-pass native encoder when the C++ runtime is available
+        from .. import native
+
+        if native.available() and native.write_vtu(path, pos, fields):
+            self._series.append((time, fname))
+            self._index += 1
+            self._write_pvd()
+            return path
+
         # appended raw-binary encoding: offsets into the data block
         blobs = []
         offset = 0

@@ -331,6 +331,12 @@ def compute_forces(
         # with moving bodies their rows carry the hydrodynamic force for the
         # per-body reduction (euler still never integrates them)
         DvDt = jnp.where(is_fluid_c[:, None], DvDt, 0.0)
+    if fw.planes:
+        from .planes import apply_plane_forces
+
+        DvDt = apply_plane_forces(
+            fw, state.pos, state.vel, state.mass, is_fluid_c, DvDt
+        )
     # convert physical DrDt to relative-density rate (forces_kernel.def:4581)
     rho0 = eos._per_fluid(fw.pp, fields["f_num"], [f.rho0 for f in fw.pp.fluids])
     DrDt = sums["DrDt"] / rho0

@@ -503,6 +503,12 @@ def compute_forces_pallas(
     DvDt = jnp.where(is_fluid_c[:, None], DvDt + gvec[None, :], DvDt)
     if not fw.has_moving_bodies:
         DvDt = jnp.where(is_fluid_c[:, None], DvDt, 0.0)
+    if fw.planes:
+        from .planes import apply_plane_forces
+
+        DvDt = apply_plane_forces(
+            fw, state.pos, state.vel, state.mass, is_fluid_c, DvDt
+        )
     rho0 = eos._per_fluid(pp, f_num, [f.rho0 for f in pp.fluids])
     DrDt = DrDt_phys / rho0
 

@@ -347,6 +347,12 @@ class Problem:
             self.fw = dataclasses.replace(
                 self.fw, flags=self.fw.flags | SimFlags.ENABLE_MOVING_BODIES
             )
+        if self.planes:
+            self.fw = dataclasses.replace(
+                self.fw,
+                flags=self.fw.flags | SimFlags.ENABLE_PLANES,
+                planes=tuple((p.point, p.normal) for p in self.planes),
+            )
         self.fw = self.fw.finalize()
         dp = self.deltap
         if dp <= 0:

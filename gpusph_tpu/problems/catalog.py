@@ -69,17 +69,33 @@ class DamBreak3D(Problem):
         self.set_tend(self.get_option("tend", 1.5))
         self.add_writer(freq=0.005)
 
+        use_planes = self.get_option("use_planes", False)
         dim = (1.6, 0.67, 0.6)
         self.make_universe_box((0.0, 0.0, 0.0), dim)
         dp = self.deltap
 
-        # container walls: 3 dyn-boundary layers growing inward from the faces
-        self.add_box(
-            GeometryType.FIXED_BOUNDARY, FillType.BORDER, (0, 0, 0), *dim,
-            open_top=True,
-        )
-        # water column, offset one layer-block from the walls
-        bd = dp * self.dyn_layers
+        if use_planes:
+            # limit the domain with 6 geometric planes (makeUniverseBox path,
+            # DamBreak3D.cu:127-129)
+            for axis in range(3):
+                lo = [0.0, 0.0, 0.0]
+                n_lo = [0.0, 0.0, 0.0]
+                n_lo[axis] = 1.0
+                self.add_plane(tuple(lo), tuple(n_lo))
+                hi = [0.0, 0.0, 0.0]
+                hi[axis] = dim[axis]
+                n_hi = [0.0, 0.0, 0.0]
+                n_hi[axis] = -1.0
+                self.add_plane(tuple(hi), tuple(n_hi))
+            bd = dp
+        else:
+            # container walls: 3 dyn-boundary layers growing inward
+            self.add_box(
+                GeometryType.FIXED_BOUNDARY, FillType.BORDER, (0, 0, 0), *dim,
+                open_top=True,
+            )
+            bd = dp * self.dyn_layers
+        # water column, offset from the walls
         self.add_box(
             GeometryType.FLUID, FillType.SOLID,
             (bd, bd, bd), 0.4 - bd, dim[1] - 2 * bd, H - bd,
