@@ -100,13 +100,14 @@ def main(argv=None):
         hot_every=args.checkpoint_every,
         keep_hot=args.checkpoints,
         gages=problem.gages,
+        n_bodies=len(sim.bodies_specs),
     )
 
     write_every = problem.vtk_write_every or 0.0
 
     def on_write(s: Simulator, st):
         writers.maybe_write(
-            s.t, st, dt=s.dt, iterations=s.iterations,
+            s.t, st, dt=s.dt, iterations=s.iterations, bodies=s.bodies,
         )
         print(
             f"iter {s.iterations} t={s.t:.6g} dt={s.dt:.6g} "

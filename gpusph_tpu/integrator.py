@@ -123,7 +123,7 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
 
         # PREDICTOR: forces at n, integrate to n* with dt/2
         f1 = forces(state, aux, dt)
-        half = euler_step(fw, state, f1, dt * 0.5, step=1)
+        half = euler_step(fw, state, f1, dt * 0.5, step=1, grid=grid)
         if specs:
             b1 = reduce_body_forces(specs, state, f1.DvDt, bodies)
             b_half = step_bodies(specs, b1, fw.pp.gravity, t, dt * 0.5)
@@ -131,7 +131,7 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
 
         # CORRECTOR: forces at n*, integrate n -> n+1 with dt
         f2 = forces(half, aux, dt)
-        new_state = euler_step(fw, state, f2, dt, step=2, full_dt=dt)
+        new_state = euler_step(fw, state, f2, dt, step=2, full_dt=dt, grid=grid)
         if specs:
             b2 = reduce_body_forces(specs, half, f2.DvDt, bodies)
             new_bodies = step_bodies(specs, b2, fw.pp.gravity, t + dt * 0.5, dt)

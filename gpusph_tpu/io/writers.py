@@ -67,7 +67,7 @@ class TextWriter:
 class CommonWriter:
     """Always-on scalar time series (reference `CommonWriter.cc:53-170`)."""
 
-    def __init__(self, outdir: str, fw: SimFramework, gages=()):
+    def __init__(self, outdir: str, fw: SimFramework, gages=(), n_bodies: int = 0):
         self.outdir = outdir
         os.makedirs(outdir, exist_ok=True)
         self.fw = fw
@@ -79,6 +79,33 @@ class CommonWriter:
             self._gage.write("# time " + " ".join(f"z{i}" for i in range(len(self.gages))) + "\n")
         else:
             self._gage = None
+        if n_bodies:
+            # body kinematics + fluid forces time series (reference
+            # rbdata.txt / objectforces.txt, CommonWriter.cc:120-170)
+            self._rb = open(os.path.join(outdir, "rbdata.txt"), "w")
+            self._rb.write("# time body cgx cgy cgz vx vy vz wx wy wz\n")
+            self._objf = open(os.path.join(outdir, "objectforces.txt"), "w")
+            self._objf.write("# time body fx fy fz tx ty tz\n")
+        else:
+            self._rb = self._objf = None
+
+    def write_bodies(self, time: float, bodies):
+        if self._rb is None or bodies is None:
+            return
+        cg = np.asarray(bodies.cg)
+        lv = np.asarray(bodies.linvel)
+        av = np.asarray(bodies.angvel)
+        f = np.asarray(bodies.force)
+        tq = np.asarray(bodies.torque)
+        for b in range(1, len(cg)):
+            self._rb.write(
+                f"{time:.9g} {b} " + " ".join(f"{v:.9g}" for v in (*cg[b], *lv[b], *av[b])) + "\n"
+            )
+            self._objf.write(
+                f"{time:.9g} {b} " + " ".join(f"{v:.9g}" for v in (*f[b], *tq[b])) + "\n"
+            )
+        self._rb.flush()
+        self._objf.flush()
 
     def write(self, time: float, state: ParticleState):
         import jax.numpy as jnp
@@ -116,7 +143,8 @@ class WriterDispatcher:
     (reference `Writer::Write/StartWriting/MarkWritten`)."""
 
     def __init__(self, outdir: str, fw: SimFramework, *, vtk_every=0.0,
-                 text_every=0.0, hot_every=0.0, keep_hot=3, gages=()):
+                 text_every=0.0, hot_every=0.0, keep_hot=3, gages=(),
+                 n_bodies=0):
         self.fw = fw
         self.outdir = outdir
         os.makedirs(outdir, exist_ok=True)
@@ -125,7 +153,7 @@ class WriterDispatcher:
             self.writers.append((VTKWriter(os.path.join(outdir, "data")), vtk_every, [0.0]))
         if text_every > 0:
             self.writers.append((TextWriter(os.path.join(outdir, "data")), text_every, [0.0]))
-        self.common = CommonWriter(outdir, fw, gages=gages)
+        self.common = CommonWriter(outdir, fw, gages=gages, n_bodies=n_bodies)
         from .hotfile import HotWriter
 
         self.hot = HotWriter(outdir, keep=keep_hot) if hot_every > 0 else None
@@ -133,7 +161,7 @@ class WriterDispatcher:
         self._next_hot = hot_every
 
     def maybe_write(self, time: float, state: ParticleState, *, dt=0.0, iterations=0,
-                    force=False):
+                    force=False, bodies=None):
         arrays = None
         for writer, every, next_t in self.writers:
             if force or time + 1e-12 >= next_t[0]:
@@ -142,6 +170,7 @@ class WriterDispatcher:
                 writer.write(time, arrays)
                 next_t[0] = time + every
         self.common.write(time, state)
+        self.common.write_bodies(time, bodies)
         if self.hot and (force or time + 1e-12 >= self._next_hot):
             self.hot.write(state, t=time, dt=dt, iterations=iterations)
             self._next_hot = time + self.hot_every

@@ -28,6 +28,24 @@ from ..state import ParticleState, part_type
 from .forces import ForcesOut
 
 
+def wrap_periodic(grid, pos):
+    """Wrap positions into the periodic box (the reference folds this into
+    the cell hash, `buildneibs_kernel.cu:664`; we keep positions canonical
+    instead so cell assignment stays consistent)."""
+    per = int(grid.periodic)
+    if not per:
+        return pos
+    origin = grid.origin
+    size = grid.world_size
+    cols = []
+    for a in range(3):
+        x = pos[:, a]
+        if per & (1 << a):
+            x = origin[a] + jnp.mod(x - origin[a], size[a])
+        cols.append(x)
+    return jnp.stack(cols, axis=1)
+
+
 def euler_step(
     fw: SimFramework,
     state_n: ParticleState,
@@ -36,6 +54,7 @@ def euler_step(
     *,
     step: int,
     full_dt=None,
+    grid=None,
 ) -> ParticleState:
     """One Euler update producing state n* (step=1) or n+1 (step=2)."""
     ptype = part_type(state_n.info)
@@ -55,6 +74,8 @@ def euler_step(
     new_pos = jnp.where(
         is_fluid[:, None], state_n.pos + velc * dt_eff, state_n.pos
     )
+    if grid is not None:
+        new_pos = wrap_periodic(grid, new_pos)
     new_vel = jnp.where(
         is_fluid[:, None], state_n.vel + forces.DvDt * dt_eff, state_n.vel
     )

@@ -391,10 +391,10 @@ def make_sharded_chunk(
             stc, dt, t = carry
             stc = apply_filters(fw, lg, stc, aux, it)
             f1 = forces(stc, aux, dt)
-            half = euler_step(fw, stc, f1, dt * 0.5, step=1)
+            half = euler_step(fw, stc, f1, dt * 0.5, step=1, grid=lg)
             half = halo_refresh(half)
             f2 = forces(half, aux, dt)
-            new = euler_step(fw, stc, f2, dt, step=2, full_dt=dt)
+            new = euler_step(fw, stc, f2, dt, step=2, full_dt=dt, grid=lg)
             new = halo_refresh(new)
             if adaptive:
                 local_dt = compute_dt(fw, f2)

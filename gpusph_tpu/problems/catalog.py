@@ -169,6 +169,7 @@ class Poiseuille(Problem):
             visc_average=viscavg,
             periodicity=Periodicity.XY,
             boundary=BoundaryType.DYN_BOUNDARY,
+            simparams=SimParams(max_parts_per_cell=56),
         )
         self.set_deltap(lz / ppH)
         dp = self.deltap
