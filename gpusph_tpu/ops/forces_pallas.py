@@ -83,8 +83,6 @@ def pallas_supported(fw: SimFramework, grid: CellGrid) -> bool:
         TurbulenceModel.LAMINAR_FLOW,
     ):
         return False
-    if fw.has_xsph:
-        return False  # TODO: add xsph accumulation columns
     if fw.densitydiffusiontype == DensityDiffusionType.BREZZI:
         return False  # needs the dt scalar; XLA path handles it
     return True
@@ -429,7 +427,18 @@ def _forces_cell_body(fw, grid, K, idx_ref, prow_hbm, out_ref, cen_scratch,
     out_ref[0, :, 1] = jnp.sum(DvDt_x, axis=1)
     out_ref[0, :, 2] = jnp.sum(DvDt_y, axis=1)
     out_ref[0, :, 3] = jnp.sum(DvDt_z, axis=1)
-    out_ref[0, :, 4:8] = jnp.zeros((K8, 4), f32)
+    if fw.has_xsph:
+        # XSPH mean velocity (forces_kernel.def:2986-2994)
+        from .kernels import W as kernW
+
+        wK = kernW(fw.kerneltype, r, h)
+        xw = ff * (-m_n) * wK / (rho_c + rho_n)
+        out_ref[0, :, 4] = jnp.sum(xw * relvx, axis=1)
+        out_ref[0, :, 5] = jnp.sum(xw * relvy, axis=1)
+        out_ref[0, :, 6] = jnp.sum(xw * relvz, axis=1)
+        out_ref[0, :, 7] = jnp.zeros((K8,), f32)
+    else:
+        out_ref[0, :, 4:8] = jnp.zeros((K8, 4), f32)
 
 
 def compute_forces_pallas(
@@ -494,6 +503,10 @@ def compute_forces_pallas(
 
     DrDt_phys = scat(0)
     DvDt = jnp.stack([scat(1), scat(2), scat(3)], axis=-1)
+    if fw.has_xsph:
+        xsph = jnp.stack([scat(4), scat(5), scat(6)], axis=-1)
+    else:
+        xsph = jnp.zeros_like(state.vel)
 
     # finalize: gravity, unit conversion, CFL maxima (forces.cu:557-600)
     ptype = part_type(state.info)
@@ -527,7 +540,7 @@ def compute_forces_pallas(
     return ForcesOut(
         DvDt=DvDt,
         DrDt=DrDt,
-        xsph=jnp.zeros_like(state.vel),
+        xsph=xsph,
         max_accel=max_accel,
         max_sspeed=max_sspeed,
         max_kinvisc=max_kinvisc,

@@ -353,6 +353,11 @@ class Problem:
                 flags=self.fw.flags | SimFlags.ENABLE_PLANES,
                 planes=tuple((p.point, p.normal) for p in self.planes),
             )
+        # generic override of the cell capacity (the CHECK_NEIBSNUM analogue
+        # of the reference's resize_neiblist), e.g. --max_ppc 64
+        max_ppc = self.get_option("max_ppc", 0)
+        if max_ppc:
+            self._update_sp(max_parts_per_cell=int(max_ppc))
         self.fw = self.fw.finalize()
         dp = self.deltap
         if dp <= 0:
