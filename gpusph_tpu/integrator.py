@@ -37,7 +37,8 @@ from .framework import SimFramework
 from .ops.visc import effective_viscosity, sps_stress
 from .ops.filters import apply_filters
 from .ops.forces import compute_forces
-from .ops.forces_pallas import compute_forces_pallas, pallas_supported
+from .ops.forces_pallas import (build_run_table, compute_forces_pallas,
+                                pallas_supported)
 from .ops.integrate import compute_dt, euler_step
 from .ops.neighbors import CellAux, CellGrid, build_cells
 from .state import ParticleState
@@ -101,12 +102,13 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
         return sps_tau, effvisc
 
     if use_pallas:
-        def forces(state, aux, dt):
+        def forces(state, aux, dt, table=None):
             sps_tau, effvisc = calc_visc(state, aux)
             return compute_forces_pallas(fw, grid, state, aux, dt=dt,
-                                         sps_tau=sps_tau, effvisc=effvisc)
+                                         sps_tau=sps_tau, effvisc=effvisc,
+                                         table=table)
     else:
-        def forces(state, aux, dt):
+        def forces(state, aux, dt, table=None):
             sps_tau, effvisc = calc_visc(state, aux)
             return compute_forces(fw, grid, state, aux, dt=dt,
                                   chunk_cells=chunk_cells,
@@ -115,14 +117,14 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
     specs = tuple(bodies_specs or ())
 
     def pc_step(carry, it):
-        state, dt, t, bodies, aux = carry
+        state, dt, t, bodies, aux, table = carry
 
         # density filters at their frequencies (FILTER phase,
         # PredictorCorrectorIntegrator.cc:800-877)
         state = apply_filters(fw, grid, state, aux, it)
 
         # PREDICTOR: forces at n, integrate to n* with dt/2
-        f1 = forces(state, aux, dt)
+        f1 = forces(state, aux, dt, table)
         half = euler_step(fw, state, f1, dt * 0.5, step=1, grid=grid)
         if specs:
             b1 = reduce_body_forces(specs, state, f1.DvDt, bodies)
@@ -130,7 +132,7 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
             half = apply_body_motion(specs, half, b_half, dt * 0.5)
 
         # CORRECTOR: forces at n*, integrate n -> n+1 with dt
-        f2 = forces(half, aux, dt)
+        f2 = forces(half, aux, dt, table)
         new_state = euler_step(fw, state, f2, dt, step=2, full_dt=dt, grid=grid)
         if specs:
             b2 = reduce_body_forces(specs, half, f2.DvDt, bodies)
@@ -140,14 +142,19 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
             new_bodies = bodies
 
         new_dt = compute_dt(fw, f2) if adaptive else dt
-        return (new_state, new_dt, t + dt, new_bodies, aux), (
+        return (new_state, new_dt, t + dt, new_bodies, aux, table), (
             f2.max_accel, f2.max_sspeed,
         )
 
     def chunk(state: ParticleState, dt, t, iters, bodies):
         state, aux = build_cells(grid, state)
-        (state, dt, t, bodies, _), (max_acc, max_ss) = jax.lax.scan(
-            pc_step, (state, dt, t, bodies, aux), iters + jnp.arange(nsteps)
+        # the Pallas DMA plan only depends on the rebuild: build once per chunk
+        if use_pallas:
+            table = build_run_table(fw, grid, aux, sp.max_parts_per_cell)
+        else:
+            table = jnp.zeros((), jnp.int32)
+        (state, dt, t, bodies, _, _), (max_acc, max_ss) = jax.lax.scan(
+            pc_step, (state, dt, t, bodies, aux, table), iters + jnp.arange(nsteps)
         )
         stats = StepStats(
             max_occupancy=aux.max_occupancy,

@@ -450,8 +450,13 @@ def compute_forces_pallas(
     dt: Optional[jax.Array] = None,
     sps_tau=None,
     effvisc=None,
+    table=None,
 ) -> ForcesOut:
-    """Pallas-accelerated forces pass (same contract as compute_forces)."""
+    """Pallas-accelerated forces pass (same contract as compute_forces).
+
+    ``table`` is the per-rebuild DMA plan from :func:`build_run_table`; pass
+    it in when calling repeatedly between rebuilds to avoid recomputing it.
+    """
     sp, pp = fw.sp, fw.pp
     K = sp.max_parts_per_cell
     RUN = _run_slots(K)
@@ -459,7 +464,8 @@ def compute_forces_pallas(
     n_cells = grid.n_cells
     N = state.capacity
 
-    table = build_run_table(fw, grid, aux, K)
+    if table is None:
+        table = build_run_table(fw, grid, aux, K)
     prow = _pack(fw, state, pad_rows=RUN, effvisc=effvisc)
 
     kernel = functools.partial(_forces_kernel, fw, grid, K)
@@ -484,27 +490,23 @@ def compute_forces_pallas(
         interpret=interpret,
     )(table[:, None, :], prow)
 
-    # scatter bin-layout sums back to (sorted) particle order
-    cells = jnp.arange(n_cells, dtype=jnp.int32)
-    k_ar = jnp.arange(K8, dtype=jnp.int32)
-    cs = aux.cell_start[cells]
-    cs8 = (cs // 8) * 8
-    slack = (cs - cs8)[:, None]
-    cidx = cs8[:, None] + k_ar[None, :]
-    cmask = (k_ar[None, :] >= slack) & (
-        k_ar[None, :] < slack + aux.cell_count[cells][:, None]
-    )
-    sidx = jnp.where(cmask, cidx, N).reshape(-1)
+    # un-bin: per-particle GATHER from the [n_cells, K8, NOUT] bin layout
+    # (a row gather beats the equivalent 500k-row scatter by ~10x on TPU)
+    h = aux.hash_sorted[:N]
+    cell = jnp.minimum(h, n_cells - 1)
+    cs = aux.cell_start[cell]
+    rank = jnp.arange(N, dtype=jnp.int32) - cs
+    k_idx = (cs - (cs // 8) * 8) + rank  # slack + in-cell rank
+    valid = (h < n_cells) & (k_idx >= 0) & (k_idx < K8)
+    rows = out.reshape(-1, NOUT)[
+        jnp.where(valid, cell * K8 + jnp.minimum(k_idx, K8 - 1), 0)
+    ]
+    rows = jnp.where(valid[:, None], rows, 0.0)
 
-    def scat(col):
-        return jnp.zeros((N,), jnp.float32).at[sidx].set(
-            out[:, :, col].reshape(-1), mode="drop"
-        )
-
-    DrDt_phys = scat(0)
-    DvDt = jnp.stack([scat(1), scat(2), scat(3)], axis=-1)
+    DrDt_phys = rows[:, 0]
+    DvDt = rows[:, 1:4]
     if fw.has_xsph:
-        xsph = jnp.stack([scat(4), scat(5), scat(6)], axis=-1)
+        xsph = rows[:, 4:7]
     else:
         xsph = jnp.zeros_like(state.vel)
 
