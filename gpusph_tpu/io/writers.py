@@ -116,7 +116,11 @@ class CommonWriter:
         ekin = 0.5 * jnp.sum(m * v2)
         g = np.asarray(self.fw.pp.gravity)
         epot = -jnp.sum(m * (state.pos @ jnp.asarray(g, jnp.float32)))
-        self._energy.write(f"{time:.9g}\t{float(ekin):.9g}\t{float(epot):.9g}\t0\n")
+        u = state.extra("energy")
+        eint = float(jnp.sum(m * u)) if u is not None else 0.0
+        self._energy.write(
+            f"{time:.9g}\t{float(ekin):.9g}\t{float(epot):.9g}\t{eint:.9g}\n"
+        )
         self._energy.flush()
 
         if self._gage is not None:

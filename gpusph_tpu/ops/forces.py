@@ -43,6 +43,7 @@ from ..defs import (
     BoundaryType,
     DensityDiffusionType,
     ParticleType,
+    SimFlags,
     SPHFormulation,
     TurbulenceModel,
     ViscousModel,
@@ -63,6 +64,7 @@ class ForcesOut(struct.PyTreeNode):
     DvDt: jax.Array  # f32[N,3] acceleration
     DrDt: jax.Array  # f32[N] relative-density rate (already /rho0)
     xsph: jax.Array  # f32[N,3] XSPH mean velocity correction (zeros if off)
+    DEDt: jax.Array  # f32[N] internal-energy rate (zeros unless enabled)
     max_accel: jax.Array  # f32[] max |a| over fluid particles (CFL force term)
     max_sspeed: jax.Array  # f32[] max local sound speed (CFL sound term)
     max_kinvisc: jax.Array  # f32[] max kinematic viscosity (CFL visc term)
@@ -289,6 +291,13 @@ def compute_forces(
         out["DvDt_x"] = s * g.relx + (sv * relvx if sv is not None else 0.0)
         out["DvDt_y"] = s * g.rely + (sv * relvy if sv is not None else 0.0)
         out["DvDt_z"] = s * g.relz + (sv * relvz if sv is not None else 0.0)
+
+        if fw.flags & SimFlags.ENABLE_INTERNAL_ENERGY:
+            # dU/dt -= (a_pair . v_ij)/2 (forces_kernel.def:3306-3316)
+            dedt = s * vel_dot_pos
+            if sv is not None:
+                dedt = dedt + sv * (relvx * relvx + relvy * relvy + relvz * relvz)
+            out["DEDt"] = -0.5 * dedt
         if "DvDt_x_extra" in out:
             out["DvDt_x"] = out["DvDt_x"] + out.pop("DvDt_x_extra")
             out["DvDt_y"] = out["DvDt_y"] + out.pop("DvDt_y_extra")
@@ -345,6 +354,7 @@ def compute_forces(
         xsph = merge_vec(sums, "xsph")
     else:
         xsph = jnp.zeros_like(state.vel)
+    DEDt = sums.get("DEDt", jnp.zeros_like(DrDt))
 
     # --- CFL reductions (forces.cu:557-600) ---------------------------------
     accel2 = jnp.sum(DvDt * DvDt, axis=-1)
@@ -359,6 +369,7 @@ def compute_forces(
         DvDt=DvDt,
         DrDt=DrDt,
         xsph=xsph,
+        DEDt=DEDt,
         max_accel=max_accel,
         max_sspeed=max_sspeed,
         max_kinvisc=max_kinvisc,

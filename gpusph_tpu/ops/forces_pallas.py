@@ -40,6 +40,7 @@ from ..defs import (
     BoundaryType,
     DensityDiffusionType,
     ParticleType,
+    SimFlags,
     SPHFormulation,
     TurbulenceModel,
     ViscousModel,
@@ -436,9 +437,16 @@ def _forces_cell_body(fw, grid, K, idx_ref, prow_hbm, out_ref, cen_scratch,
         out_ref[0, :, 4] = jnp.sum(xw * relvx, axis=1)
         out_ref[0, :, 5] = jnp.sum(xw * relvy, axis=1)
         out_ref[0, :, 6] = jnp.sum(xw * relvz, axis=1)
-        out_ref[0, :, 7] = jnp.zeros((K8,), f32)
     else:
-        out_ref[0, :, 4:8] = jnp.zeros((K8, 4), f32)
+        out_ref[0, :, 4:7] = jnp.zeros((K8, 3), f32)
+    if fw.flags & SimFlags.ENABLE_INTERNAL_ENERGY:
+        # dU/dt -= (a_pair . v_ij)/2 (forces_kernel.def:3306-3316)
+        dedt = s * vdp
+        if sv is not None:
+            dedt = dedt + sv * (relvx * relvx + relvy * relvy + relvz * relvz)
+        out_ref[0, :, 7] = jnp.sum(-0.5 * dedt, axis=1)
+    else:
+        out_ref[0, :, 7] = jnp.zeros((K8,), f32)
 
 
 def compute_forces_pallas(
@@ -509,6 +517,7 @@ def compute_forces_pallas(
         xsph = rows[:, 4:7]
     else:
         xsph = jnp.zeros_like(state.vel)
+    DEDt = rows[:, 7]
 
     # finalize: gravity, unit conversion, CFL maxima (forces.cu:557-600)
     ptype = part_type(state.info)
@@ -543,6 +552,7 @@ def compute_forces_pallas(
         DvDt=DvDt,
         DrDt=DrDt,
         xsph=xsph,
+        DEDt=DEDt,
         max_accel=max_accel,
         max_sspeed=max_sspeed,
         max_kinvisc=max_kinvisc,

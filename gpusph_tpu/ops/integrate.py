@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..defs import BoundaryType, ParticleType
+from ..defs import BoundaryType, ParticleType, SimFlags
 from ..framework import SimFramework
 from ..state import ParticleState, part_type
 from .forces import ForcesOut
@@ -86,8 +86,11 @@ def euler_step(
     new_rho = jnp.where(rho_mask, state_n.rho + forces.DrDt * dt_eff, state_n.rho)
 
     extras = dict(state_n.extras)
-    # internal energy / k-epsilon integration hook (euler_kernel.def:182-230)
-    # handled by the respective subsystem modules when enabled.
+    # internal energy integration (euler_kernel.def:182-196)
+    if (fw.flags & SimFlags.ENABLE_INTERNAL_ENERGY) and "energy" in extras:
+        extras["energy"] = jnp.where(
+            is_fluid, extras["energy"] + forces.DEDt * dt_eff, extras["energy"]
+        )
 
     return state_n.replace(pos=new_pos, vel=new_vel, rho=new_rho, extras=extras)
 

@@ -23,6 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..defs import ParticleType, Periodicity
+from ..defs import SimFlags as _SimFlags
 from ..framework import SimFramework, setup_framework
 from ..geometry import primitives as geo
 from ..ops import eos
@@ -454,7 +455,10 @@ class Problem:
 
         if capacity is None:
             capacity = n_total
-        state = empty_state(capacity)
+        extras = {}
+        if self.fw.flags & _SimFlags.ENABLE_INTERNAL_ENERGY:
+            extras["energy"] = jnp.zeros((capacity,), jnp.float32)
+        state = empty_state(capacity, extras)
         pos = np.concatenate(pos_list).astype(np.float32)
         state = state.replace(
             pos=state.pos.at[:n_total].set(jnp.asarray(pos)),

@@ -109,3 +109,32 @@ def test_pallas_xsph(rng):
     np.testing.assert_allclose(
         np.asarray(got.xsph)[act], np.asarray(ref.xsph)[act], rtol=2e-3, atol=1e-7
     )
+
+
+def test_pallas_internal_energy(rng):
+    import jax.numpy as jnp
+    from gpusph_tpu import SimFlags
+    from gpusph_tpu.ops.neighbors import build_cells
+
+    fw = setup_framework(
+        boundary=BoundaryType.DYN_BOUNDARY,
+        turbulence_model=TurbulenceModel.ARTIFICIAL,
+        rheology=RheologyType.INVISCID,
+        flags=SimFlags.ENABLE_DTADAPT | SimFlags.ENABLE_INTERNAL_ENERGY,
+        simparams=SimParams(deltap=DP, max_parts_per_cell=32),
+        physparams=PhysParams(
+            fluids=(Fluid(rho0=1000.0, gamma=7.0, c0=30.0),),
+            gravity=(0.0, 0.0, -9.81),
+        ),
+    ).finalize()
+    st, _ = make_random_scene(rng, n_fluid=150, n_bound=60)
+    grid = make_grid((0, 0, 0), (0.3, 0.3, 0.3), fw.influenceradius)
+    sorted_st, aux = build_cells(grid, st)
+    ref = compute_forces(fw, grid, sorted_st, aux, chunk_cells=16)
+    got = compute_forces_pallas(fw, grid, sorted_st, aux)
+    act = np.asarray(sorted_st.active)
+    assert np.abs(np.asarray(ref.DEDt)[act]).max() > 0  # nonzero physics
+    np.testing.assert_allclose(
+        np.asarray(got.DEDt)[act], np.asarray(ref.DEDt)[act], rtol=2e-3,
+        atol=1e-5 * np.abs(np.asarray(ref.DEDt)[act]).max(),
+    )
