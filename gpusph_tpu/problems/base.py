@@ -253,6 +253,23 @@ class Problem:
         """Raw particle positions (the XYZFile/HDF5File reader analogue)."""
         return self._add(Geometry(gtype, np.asarray(pts, np.float64), **kw))
 
+    def add_stl_mesh(self, gtype, path: str, **kw):
+        """Surface-fill an STL mesh (reference `addSTLMesh`,
+        `src/problem_api/ProblemAPI_1.h:288`)."""
+        from ..geometry.stl import fill_stl_surface, load_stl
+
+        tris = load_stl(path)
+        pts = fill_stl_surface(tris, self.deltap)
+        gid = self._add(Geometry(gtype, pts, **kw))
+        self.geometries[gid].mesh_tris = tris  # for erase predicates
+        return gid
+
+    def add_xyz_file(self, gtype, path: str, **kw):
+        """Load raw particle positions from a whitespace xyz file
+        (reference `XYZReader`)."""
+        pts = np.loadtxt(path, usecols=(0, 1, 2), ndmin=2)
+        return self.add_points(gtype, pts, **kw)
+
     def add_plane(self, point, normal):
         self.planes.append(Plane(tuple(point), tuple(normal)))
 
@@ -360,6 +377,22 @@ class Problem:
         if max_ppc:
             self._update_sp(max_parts_per_cell=int(max_ppc))
         self.fw = self.fw.finalize()
+
+        # auto-size the cell capacity from the actual cell volume: with few
+        # cells per axis the cell can be much larger than the influence
+        # radius, so the static default would overflow (CHECK_NEIBSNUM)
+        if not max_ppc and self.fw.sp.max_parts_per_cell == SimParams().max_parts_per_cell:
+            probe = make_grid(
+                self.origin, self.size, self.fw.influenceradius,
+                periodic=self.fw.periodicbound,
+            )
+            occ = 1.0
+            for cs_ in probe.cell_size:
+                occ *= cs_ / self.deltap
+            k_auto = int(-(-int(occ * 1.7 + 8) // 8) * 8)
+            if k_auto > self.fw.sp.max_parts_per_cell:
+                self._update_sp(max_parts_per_cell=k_auto)
+                self.fw = self.fw.finalize()
         dp = self.deltap
         if dp <= 0:
             raise ValueError("set_deltap first")
@@ -484,7 +517,7 @@ def _tset(t: tuple, i: int, v):
 
 def get_problem(name: str) -> type:
     # make sure the catalog is imported
-    from . import catalog  # noqa: F401
+    from . import catalog, generic  # noqa: F401
 
     return PROBLEM_REGISTRY[name]
 

@@ -632,6 +632,62 @@ class DamBreakGate(Problem):
         self.set_body_motion(gate, gate_motion)
 
 
+class Spheric2(Problem):
+    """SPHERIC benchmark test case 2 (Kleefsman dam break with obstacle,
+    reference `src/problems/Spheric2LJ.cu:50-150`): 3.22 x 1 x 1 tank,
+    H=0.55 water column, 0.161 x 0.403 x 0.161 obstacle, 8 pressure probes
+    on the obstacle faces."""
+
+    name = "Spheric2"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        lx, ly, lz = 3.22, 1.0, 1.0
+        H = 0.55
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            rheology=RheologyType.INVISCID,
+            turbulence_model=TurbulenceModel.ARTIFICIAL,
+            density_diffusion=DensityDiffusionType.COLAGROSSI,
+            simparams=SimParams(densityDiffCoeff=0.1),
+        )
+        self.set_deltap(self.get_option("deltap", 0.02))
+        dp = self.deltap
+        self.set_gravity(-9.81)
+        self.set_max_fall(H)
+        fl = self.add_fluid(1000.0)
+        self.set_kinematic_visc(fl, 1.0e-6)
+        self.set_equation_of_state(fl, 7.0, 0.0)  # auto from max fall
+        self.set_tend(self.get_option("tend", 5.0))
+        self.add_writer(freq=0.02)
+
+        self.make_universe_box((0.0, 0.0, 0.0), (lx, ly, lz))
+        self.add_box(GeometryType.FIXED_BOUNDARY, FillType.BORDER,
+                     (0, 0, 0), lx, ly, lz, open_top=True)
+        bd = dp * self.dyn_layers
+        # obstacle (hollow box) on the tank floor
+        ob = (2.3955, 0.295, bd)
+        os_ = (0.161, 0.403, 0.161 - bd)
+        self.add_box(GeometryType.FIXED_BOUNDARY, FillType.BORDER, ob, *os_)
+        # water column at the far end (the dam)
+        self.add_box(
+            GeometryType.FLUID, FillType.SOLID,
+            (lx - 1.228, bd, bd), 1.228 - bd, ly - 2 * bd, H - bd,
+        )
+        self.erase_fluid_inside(
+            geo.box_predicate(ob, os_, margin=dp / 2)
+        )
+        self.set_water_level(H)
+
+        # Kleefsman pressure probes (reference :140-147)
+        for z in (0.021, 0.061, 0.101, 0.141):
+            self.add_testpoint((2.3955, 0.529, z))
+        for x in (2.4165, 2.4565, 2.4965, 2.5365):
+            self.add_testpoint((x, 0.471, 0.161))
+
+
 def _tank_points(origin, inner_size, dp, layers):
     """Open-top tank: floor + 4 walls, ``layers`` thick, inner surface at the
     given box; layers grow outward (away from the fluid)."""

@@ -57,11 +57,12 @@ def test_wavetank_build_and_steps():
 
 
 def test_registry_has_catalog():
-    from gpusph_tpu.problems import catalog  # noqa: F401
+    from gpusph_tpu.problems import catalog, generic  # noqa: F401
 
     for name in (
         "DamBreak3D", "Poiseuille", "StillWater", "WaveTank",
         "LockExchange", "OpenChannel", "BuoyancyTest", "DamBreakGate",
+        "Spheric2", "Generic",
     ):
         assert name in PROBLEM_REGISTRY
 
