@@ -57,6 +57,18 @@ def main():
     particle_steps = n * steps
     rate = particle_steps / elapsed
 
+    # neighbor-rebuild cost (BASELINE.md asks for ms/step): time the sort +
+    # cell-table build alone, amortized over buildneibsfreq steps
+    from gpusph_tpu.ops.neighbors import build_cells
+
+    rb = jax.jit(lambda s: build_cells(grid, s))
+    jax.block_until_ready(rb(state)[0].pos)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = rb(state)
+    jax.block_until_ready(out[0].pos)
+    rebuild_ms = (time.perf_counter() - t0) / 5 * 1e3
+
     baseline = 1e9  # BASELINE.json north star: 1e9 particle-steps/s/chip
     print(
         json.dumps(
@@ -68,6 +80,8 @@ def main():
                 "particles": n,
                 "steps_timed": steps,
                 "wall_s": elapsed,
+                "neighbor_rebuild_ms": rebuild_ms,
+                "rebuild_ms_per_step": rebuild_ms / P.fw.sp.buildneibsfreq,
                 "device": str(jax.devices()[0]),
             }
         )
