@@ -49,6 +49,38 @@ from ..ops.neighbors import CellAux, CellGrid, cell_coords
 from ..state import ParticleState, is_active
 
 
+def balanced_slab_bounds(grid: CellGrid, state: ParticleState, ndev: int):
+    """Particle-count-balanced slab boundaries along the split axis.
+
+    The analogue of the reference's weighted device map
+    (`fillDeviceMapByAxisBalanced`, `src/ProblemCore.cc:1080+`, fed by the
+    per-slice counts of `GPUSPH::prepareProblem` `src/GPUSPH.cc:2177-2203`):
+    choose slab boundaries so each device starts with ~equal particles.
+
+    Returns plane index boundaries [ndev+1] (numpy; host-side, setup time).
+    Note: the current Decomposition uses EQUAL slabs (static shapes must
+    match across devices); these bounds are used to size capacity and to
+    advise on grid orientation, with fully-uneven slabs planned.
+    """
+    sa = grid.order[2]
+    n = grid.ncells[sa]
+    pos = np.asarray(state.pos)
+    act = np.asarray(state.active)
+    k = np.clip(
+        np.floor((pos[act, sa] - grid.origin[sa]) / grid.cell_size[sa]),
+        0, n - 1,
+    ).astype(np.int64)
+    counts = np.bincount(k, minlength=n)
+    csum = np.concatenate([[0], np.cumsum(counts)])
+    total = csum[-1]
+    bounds = [0]
+    for d in range(1, ndev):
+        target = total * d / ndev
+        bounds.append(int(np.searchsorted(csum, target)))
+    bounds.append(n)
+    return np.asarray(bounds)
+
+
 class ShardStats(struct.PyTreeNode):
     max_occupancy: jax.Array
     n_active: jax.Array  # global active count

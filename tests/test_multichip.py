@@ -111,3 +111,21 @@ def test_sharded_multiple_chunks(small_problem):
     np.testing.assert_allclose(
         np.asarray(sN.rho)[actN][oN], np.asarray(s1.rho)[act1][o1], atol=1e-4
     )
+
+
+def test_balanced_slab_bounds(small_problem):
+    from gpusph_tpu.parallel.domain import balanced_slab_bounds
+
+    P, grid, state = small_problem
+    fw = P.fw.finalize()
+    bounds = balanced_slab_bounds(grid, state, 4)
+    assert bounds[0] == 0 and bounds[-1] == grid.ncells[grid.order[2]]
+    assert (np.diff(bounds) >= 0).all()
+    # balanced boundaries put roughly equal particles per slab
+    import numpy as np2
+    sa = grid.order[2]
+    pos = np.asarray(state.pos)[np.asarray(state.active)]
+    k = np.clip(((pos[:, sa] - grid.origin[sa]) / grid.cell_size[sa]).astype(int),
+                0, grid.ncells[sa] - 1)
+    per = [((k >= bounds[d]) & (k < bounds[d + 1])).sum() for d in range(4)]
+    assert max(per) <= 2.5 * (sum(per) / 4 + 1)
