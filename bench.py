@@ -46,6 +46,7 @@ def main():
     for _ in range(warm_chunks):
         state, dt, t, it, bodies, stats = sim._chunk(state, dt, t, it, bodies)
     jax.block_until_ready(state.pos)
+    sim._check(jax.device_get(stats))  # no silent cell overflow in the bench
 
     t0 = time.perf_counter()
     for _ in range(bench_chunks):

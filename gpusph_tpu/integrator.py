@@ -53,6 +53,7 @@ class StepStats(struct.PyTreeNode):
     dt: jax.Array  # f32[] dt after the chunk
     max_accel: jax.Array
     max_sspeed: jax.Array
+    max_run: jax.Array  # i32[] max 3-cell candidate-run extent (pallas)
 
 
 class DtZeroException(RuntimeError):
@@ -150,9 +151,10 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
         state, aux = build_cells(grid, state)
         # the Pallas DMA plan only depends on the rebuild: build once per chunk
         if use_pallas:
-            table = build_run_table(fw, grid, aux, sp.max_parts_per_cell)
+            table, max_run = build_run_table(fw, grid, aux, sp.max_parts_per_cell)
         else:
             table = jnp.zeros((), jnp.int32)
+            max_run = jnp.zeros((), jnp.int32)
         (state, dt, t, bodies, _, _), (max_acc, max_ss) = jax.lax.scan(
             pc_step, (state, dt, t, bodies, aux, table), iters + jnp.arange(nsteps)
         )
@@ -162,6 +164,7 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
             dt=dt,
             max_accel=max_acc[-1],
             max_sspeed=max_ss[-1],
+            max_run=max_run,
         )
         return state, dt, t, iters + nsteps, bodies, stats
 
@@ -260,6 +263,12 @@ class Simulator:
                 f"cell occupancy {int(stats.max_occupancy)} exceeds "
                 f"max_parts_per_cell={self.fw.sp.max_parts_per_cell}; "
                 "raise SimParams.max_parts_per_cell"
+            )
+        run_cap = self.fw.sp.max_run_extent or 3 * self.fw.sp.max_parts_per_cell
+        if int(stats.max_run) > run_cap:
+            raise CellOverflowError(
+                f"candidate-run extent {int(stats.max_run)} exceeds "
+                f"max_run_extent={run_cap}; raise SimParams.max_run_extent"
             )
         if not (float(stats.dt) > 1e-10):
             raise DtZeroException(f"timestep underflow: dt={float(stats.dt)}")

@@ -63,9 +63,12 @@ NCOLS_PAD = 128  # padded to a full lane tile
 NOUT = 8  # DrDt, DvDt xyz, spare
 
 
-def _run_slots(K: int) -> int:
-    """Candidate slots per 3-cell run: 3K + 8 alignment slack, lane-rounded."""
-    return -(-(3 * K + 8) // 128) * 128
+def _run_slots(fw) -> int:
+    """Row slots per 3-cell candidate run: the configured (or worst-case)
+    extent + 8 alignment slack, rounded to the 8-row DMA tile."""
+    sp = fw.sp
+    extent = sp.max_run_extent or 3 * sp.max_parts_per_cell
+    return -(-(extent + 8) // 8) * 8
 
 
 def _k8(K: int) -> int:
@@ -93,9 +96,11 @@ def build_run_table(fw: SimFramework, grid: CellGrid, aux: CellAux, K: int):
     """Per-cell DMA plan: 9 contiguous candidate runs + own slice, all starts
     rounded down to the 8-row DMA tile.
 
-    Returns i32 [n_cells, 32]:
+    Returns (table, max_extent): i32 [n_cells, 32] plus the maximum raw run
+    extent (for the runtime capacity check against sp.max_run_extent):
       0-8   aligned run starts
-      9-17  run end offsets relative to the aligned start (= slack + length)
+      9-17  run end offsets relative to the aligned start (= slack + length,
+            clamped to the run capacity)
       18    aligned cell start
       19    cell slack (cell_start - aligned)
       20    cell count
@@ -108,7 +113,8 @@ def build_run_table(fw: SimFramework, grid: CellGrid, aux: CellAux, K: int):
     n0 = grid.ncells[a0]
 
     starts, ends, slacks = [], [], []
-    RUN = 3 * K
+    RUN = _run_slots(fw)
+    max_extent = jnp.zeros((), jnp.int32)
     for d2 in (-1, 0, 1):
         for d1 in (-1, 0, 1):
             c1 = coords[a1] + d1
@@ -134,9 +140,11 @@ def build_run_table(fw: SimFramework, grid: CellGrid, aux: CellAux, K: int):
             ijk_hi[a0], ijk_hi[a1], ijk_hi[a2] = i_hi, c1, c2
             s = aux.cell_start[linearize(grid, jnp.stack(ijk_lo, -1))]
             e = aux.cell_start[linearize(grid, jnp.stack(ijk_hi, -1)) + 1]
-            L = jnp.where(valid, jnp.minimum(e - s, RUN), 0)
+            raw = jnp.where(valid, e - s, 0)
+            max_extent = jnp.maximum(max_extent, jnp.max(raw))
             s8 = (s // 8) * 8
             slack = s - s8
+            L = jnp.minimum(raw, RUN - slack)
             starts.append(s8)
             ends.append(slack + L)
             slacks.append(slack)
@@ -151,7 +159,7 @@ def build_run_table(fw: SimFramework, grid: CellGrid, aux: CellAux, K: int):
     table = table.at[:, 19].set(cs - cs8)
     table = table.at[:, 20].set(aux.cell_count[:n_cells])
     table = table.at[:, 21:30].set(jnp.stack(slacks, -1))
-    return table
+    return table, max_extent
 
 
 def _pack(fw: SimFramework, state: ParticleState, pad_rows: int,
@@ -198,57 +206,98 @@ def _pack(fw: SimFramework, state: ParticleState, pad_rows: int,
     return P
 
 
-def _forces_kernel(fw: SimFramework, grid: CellGrid, K: int,
-                   idx_ref, prow_hbm, out_ref, cen_scratch,
-                   win_scratch, sem):
-    """One program = one cell (see module docstring)."""
-    sp, pp = fw.sp, fw.pp
-    h = sp.slength
-    RUN = _run_slots(K)
-    K8 = _k8(K)
-    W = 9 * RUN
-    f32 = jnp.float32
+def _run_pieces(RUN):
+    """Split a run copy into 128-row pieces; pieces beyond the first only
+    transfer when the run actually extends that far (most runs are much
+    shorter than the worst-case capacity, so the gated pieces save the
+    padded HBM traffic)."""
+    return [(off, min(128, RUN - off)) for off in range(0, RUN, 128)]
 
-    cs8 = pl.multiple_of(idx_ref[0, 0, 18], 8)
-    cell_slack = idx_ref[0, 0, 19]
+
+def _for_each_run_dma(fw, K, row_ref, prow_hbm, cen2, win2, sems, slot, action):
+    """Apply ``action(copy)`` to the central-block and run-piece copies whose
+    transfer is needed for this cell (identical control flow for start/wait
+    keeps the semaphore bookkeeping matched)."""
+    RUN = _run_slots(fw)
+    K8 = _k8(K)
+    cs8 = pl.multiple_of(row_ref[0, 0, 18], 8)
+    action(
+        pltpu.make_async_copy(
+            prow_hbm.at[pl.ds(cs8, K8), :], cen2.at[slot], sems.at[slot, 9, 0]
+        )
+    )
+    pieces = _run_pieces(RUN)
+    for r in range(9):
+        start = pl.multiple_of(row_ref[0, 0, r], 8)
+        run_end = row_ref[0, 0, 9 + r]
+        for pi, (off, rows) in enumerate(pieces):
+            copy = pltpu.make_async_copy(
+                prow_hbm.at[pl.ds(start + off, rows), :],
+                win2.at[slot, pl.ds(r * RUN + off, rows), :],
+                sems.at[slot, r, pi],
+            )
+            if pi == 0:
+                action(copy)
+            else:
+                # piece only needed when the run extends into it
+                @pl.when(run_end > off)
+                def _(copy=copy):
+                    action(copy)
+
+
+def _start_cell_dmas(fw, K, row_ref, prow_hbm, cen2, win2, sems, slot):
+    _for_each_run_dma(
+        fw, K, row_ref, prow_hbm, cen2, win2, sems, slot, lambda c: c.start()
+    )
+
+
+def _wait_cell_dmas(fw, K, row_ref, prow_hbm, cen2, win2, sems, slot):
+    _for_each_run_dma(
+        fw, K, row_ref, prow_hbm, cen2, win2, sems, slot, lambda c: c.wait()
+    )
+
+
+def _forces_kernel(fw: SimFramework, grid: CellGrid, K: int, n_programs: int,
+                   idx_ref, idx_next_ref, prow_hbm, out_ref, cen2,
+                   win2, sems):
+    """One program = one cell, with the next cell's copies prefetched during
+    this cell's compute (manual cross-program double buffering; scratch and
+    semaphores persist across the sequential grid)."""
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+
     cell_count = idx_ref[0, 0, 20]
 
+    # prologue: the first program starts its own copies
+    @pl.when((i == 0) & (cell_count > 0))
+    def _():
+        _start_cell_dmas(fw, K, idx_ref, prow_hbm, cen2, win2, sems, slot)
+
+    # prefetch the next cell's copies (they overlap this cell's compute)
+    @pl.when((i + 1 < n_programs) & (idx_next_ref[0, 0, 20] > 0))
+    def _():
+        _start_cell_dmas(fw, K, idx_next_ref, prow_hbm, cen2, win2, sems, nslot)
+
     # empty cells (most of the air region in free-surface problems) skip all
-    # work; their garbage output rows are dropped by the caller's scatter mask
+    # work; their garbage output rows are dropped by the caller's gather mask
     @pl.when(cell_count > 0)
     def _body():
-        _forces_cell_body(fw, grid, K, idx_ref, prow_hbm, out_ref,
-                          cen_scratch, win_scratch, sem, cs8, cell_slack,
-                          cell_count)
+        _wait_cell_dmas(fw, K, idx_ref, prow_hbm, cen2, win2, sems, slot)
+        _forces_cell_body(fw, grid, K, idx_ref, out_ref,
+                          cen2.at[slot], win2.at[slot],
+                          idx_ref[0, 0, 19], cell_count)
 
 
-def _forces_cell_body(fw, grid, K, idx_ref, prow_hbm, out_ref, cen_scratch,
-                      win_scratch, sem, cs8, cell_slack, cell_count):
+def _forces_cell_body(fw, grid, K, idx_ref, out_ref, cen_scratch,
+                      win_scratch, cell_slack, cell_count):
     sp, pp = fw.sp, fw.pp
     h = sp.slength
-    RUN = _run_slots(K)
+    RUN = _run_slots(fw)
     K8 = _k8(K)
     W = 9 * RUN
     f32 = jnp.float32
-
-    # --- DMA: central rows [K8,128] + nine candidate runs [RUN,128] --------
-    cen_dma = pltpu.make_async_copy(
-        prow_hbm.at[pl.ds(cs8, K8), :], cen_scratch, sem.at[9]
-    )
-    cen_dma.start()
-    run_dmas = []
-    for r in range(9):
-        start = pl.multiple_of(idx_ref[0, 0, r], 8)
-        d = pltpu.make_async_copy(
-            prow_hbm.at[pl.ds(start, RUN), :],
-            win_scratch.at[pl.ds(r * RUN, RUN), :],
-            sem.at[r],
-        )
-        d.start()
-        run_dmas.append(d)
-    cen_dma.wait()
-    for d in run_dmas:
-        d.wait()
+    cs8 = pl.multiple_of(idx_ref[0, 0, 18], 8)
 
     # one transpose of the used columns: [W,16] -> [16,W]
     winT = win_scratch[:, 0:NCOLS].T
@@ -467,22 +516,26 @@ def compute_forces_pallas(
     """
     sp, pp = fw.sp, fw.pp
     K = sp.max_parts_per_cell
-    RUN = _run_slots(K)
+    RUN = _run_slots(fw)
     K8 = _k8(K)
     n_cells = grid.n_cells
     N = state.capacity
 
     if table is None:
-        table = build_run_table(fw, grid, aux, K)
+        table, _ = build_run_table(fw, grid, aux, K)
     prow = _pack(fw, state, pad_rows=RUN, effvisc=effvisc)
 
-    kernel = functools.partial(_forces_kernel, fw, grid, K)
+    kernel = functools.partial(_forces_kernel, fw, grid, K, n_cells)
     # interpreter mode on CPU lets the unit tests validate the kernel logic
     interpret = jax.default_backend() == "cpu"
+    table3 = table[:, None, :]
+    # shifted view delivering row i+1 to program i (prefetch plan)
+    table_next = jnp.concatenate([table3[1:], jnp.zeros_like(table3[:1])], 0)
     out = pl.pallas_call(
         kernel,
         grid=(n_cells,),
         in_specs=[
+            pl.BlockSpec((1, 1, 32), lambda c: (c, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 32), lambda c: (c, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -491,12 +544,12 @@ def compute_forces_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((n_cells, K8, NOUT), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((K8, NCOLS_PAD), jnp.float32),
-            pltpu.VMEM((9 * RUN, NCOLS_PAD), jnp.float32),
-            pltpu.SemaphoreType.DMA((10,)),
+            pltpu.VMEM((2, K8, NCOLS_PAD), jnp.float32),
+            pltpu.VMEM((2, 9 * RUN, NCOLS_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 10, len(_run_pieces(RUN)))),
         ],
         interpret=interpret,
-    )(table[:, None, :], prow)
+    )(table3, table_next, prow)
 
     # un-bin: per-particle GATHER from the [n_cells, K8, NOUT] bin layout
     # (a row gather beats the equivalent 500k-row scatter by ~10x on TPU)

@@ -159,6 +159,11 @@ class SimParams:
     # stacked dynamic-boundary layers can reach the high 30s.  Keeping
     # 3*K <= 128 lets the Pallas forces kernel use single-tile candidate runs.
     max_parts_per_cell: int = 40
+    # Max particles in any 3 consecutive fast-axis cells (the Pallas kernel's
+    # candidate-run extent).  0 -> worst case 3*max_parts_per_cell.  Problems
+    # auto-size this from the initial occupancy; exceeded at runtime -> abort
+    # (CHECK_NEIBSNUM analogue).
+    max_run_extent: int = 0
 
     # periodicity
     periodicbound: Periodicity = Periodicity.NONE

@@ -378,9 +378,10 @@ class Problem:
             self._update_sp(max_parts_per_cell=int(max_ppc))
         self.fw = self.fw.finalize()
 
-        # auto-size the cell capacity from the actual cell volume: with few
-        # cells per axis the cell can be much larger than the influence
-        # radius, so the static default would overflow (CHECK_NEIBSNUM)
+        # auto-size the cell capacity from the actual initial occupancy
+        # (walls stack layers in corner cells well above the bulk lattice
+        # density) plus headroom for transient compression; the runtime
+        # CHECK_NEIBSNUM-style abort still guards the margin
         if not max_ppc and self.fw.sp.max_parts_per_cell == SimParams().max_parts_per_cell:
             probe = make_grid(
                 self.origin, self.size, self.fw.influenceradius,
@@ -389,10 +390,38 @@ class Problem:
             occ = 1.0
             for cs_ in probe.cell_size:
                 occ *= cs_ / self.deltap
-            k_auto = int(-(-int(occ * 1.7 + 8) // 8) * 8)
+            occ0 = 0
+            pts = [g.points for g in self.geometries if len(g.points)]
+            if pts:
+                allp = np.concatenate(pts)
+                ijk = np.clip(
+                    np.floor(
+                        (allp - np.asarray(probe.origin)) / np.asarray(probe.cell_size)
+                    ).astype(np.int64),
+                    0,
+                    np.asarray(probe.ncells) - 1,
+                )
+                a0, a1, a2 = probe.order
+                n0, n1 = probe.ncells[a0], probe.ncells[a1]
+                lin = (ijk[:, a2] * n1 + ijk[:, a1]) * n0 + ijk[:, a0]
+                counts = np.bincount(lin, minlength=probe.n_cells)
+                occ0 = int(counts.max())
+                # max particles over 3 consecutive fast-axis cells (the
+                # Pallas candidate-run extent; walls are static so a modest
+                # margin suffices)
+                cgrid = counts.reshape(
+                    probe.ncells[a2], probe.ncells[a1], probe.ncells[a0]
+                )
+                run3 = cgrid.copy()
+                run3[:, :, :-1] += cgrid[:, :, 1:]
+                run3[:, :, :-2] += cgrid[:, :, 2:]
+                run_extent = int(-(-int(run3.max() * 1.15 + 12) // 8) * 8)
+                self._update_sp(max_run_extent=run_extent)
+            k_auto = max(int(occ * 1.7 + 8), int(occ0 * 1.15 + 8))
+            k_auto = -(-k_auto // 8) * 8
             if k_auto > self.fw.sp.max_parts_per_cell:
                 self._update_sp(max_parts_per_cell=k_auto)
-                self.fw = self.fw.finalize()
+            self.fw = self.fw.finalize()
         dp = self.deltap
         if dp <= 0:
             raise ValueError("set_deltap first")
