@@ -100,6 +100,20 @@ class SimFramework:
             raise ValueError("density summation requires SA boundaries")
         if self.sph_formulation == SPHFormulation.SPH_GRENIER and self.boundarytype == BoundaryType.SA_BOUNDARY:
             raise ValueError("Grenier's formulation does not support SA boundaries")
+        if self.sph_formulation == SPHFormulation.SPH_GRENIER:
+            if self.densitydiffusiontype not in (
+                DensityDiffusionType.NONE,
+                DensityDiffusionType.COLAGROSSI,
+            ):
+                raise ValueError(
+                    "Grenier's formulation only supports Molteni & Colagrossi "
+                    "density diffusion (volume-ratio variant)"
+                )
+            if not v.is_inviscid and v.viscmodel != ViscousModel.MORRIS:
+                raise ValueError(
+                    "Grenier's formulation currently requires the Morris "
+                    "viscous model"
+                )
         if (
             self.densitydiffusiontype == DensityDiffusionType.BREZZI
             and self.sph_formulation != SPHFormulation.SPH_HA

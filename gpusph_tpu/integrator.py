@@ -32,11 +32,12 @@ from .bodies import (
     reduce_body_forces,
     step_bodies,
 )
-from .defs import SimFlags, TurbulenceModel
+from .defs import SimFlags, SPHFormulation, TurbulenceModel
 from .framework import SimFramework
 from .ops.visc import effective_viscosity, sps_stress
 from .ops.filters import apply_filters
 from .ops.forces import compute_forces
+from .ops.grenier import grenier_density_sigma
 from .ops.forces_pallas import (build_run_table, compute_forces_pallas,
                                 pallas_supported)
 from .ops.integrate import compute_dt, euler_step
@@ -102,18 +103,29 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
             )
         return sps_tau, effvisc
 
+    grenier = fw.sph_formulation == SPHFormulation.SPH_GRENIER
+
     if use_pallas:
         def forces(state, aux, dt, table=None):
             sps_tau, effvisc = calc_visc(state, aux)
             return compute_forces_pallas(fw, grid, state, aux, dt=dt,
                                          sps_tau=sps_tau, effvisc=effvisc,
-                                         table=table)
+                                         table=table), state
     else:
         def forces(state, aux, dt, table=None):
+            sigma = None
+            if grenier:
+                # COMPUTE_DENSITY phase (densityGrenierDevice,
+                # forces_kernel.cu:286): refresh sigma + smoothed density
+                # before every forces pass
+                sigma, rho = grenier_density_sigma(
+                    fw, grid, state, aux, chunk_cells=chunk_cells)
+                state = state.replace(rho=rho)
             sps_tau, effvisc = calc_visc(state, aux)
             return compute_forces(fw, grid, state, aux, dt=dt,
                                   chunk_cells=chunk_cells,
-                                  sps_tau=sps_tau, effvisc=effvisc)
+                                  sps_tau=sps_tau, effvisc=effvisc,
+                                  sigma=sigma), state
 
     specs = tuple(bodies_specs or ())
 
@@ -125,7 +137,7 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
         state = apply_filters(fw, grid, state, aux, it)
 
         # PREDICTOR: forces at n, integrate to n* with dt/2
-        f1 = forces(state, aux, dt, table)
+        f1, state = forces(state, aux, dt, table)
         half = euler_step(fw, state, f1, dt * 0.5, step=1, grid=grid)
         if specs:
             b1 = reduce_body_forces(specs, state, f1.DvDt, bodies)
@@ -133,7 +145,7 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
             half = apply_body_motion(specs, half, b_half, dt * 0.5)
 
         # CORRECTOR: forces at n*, integrate n -> n+1 with dt
-        f2 = forces(half, aux, dt, table)
+        f2, half = forces(half, aux, dt, table)
         new_state = euler_step(fw, state, f2, dt, step=2, full_dt=dt, grid=grid)
         if specs:
             b2 = reduce_body_forces(specs, half, f2.DvDt, bodies)

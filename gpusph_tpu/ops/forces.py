@@ -98,12 +98,13 @@ def _avg(avgop: AverageOperator, a, b):
 
 
 def _pair_fields(fw: SimFramework, state: ParticleState, sps_tau=None,
-                 effvisc=None):
+                 effvisc=None, sigma=None):
     """Per-particle precomputed scalar fields fed to the pair pass.
 
     ``sps_tau``/``effvisc`` are the ephemeral per-step outputs of the
     viscosity engine (the reference's EPHEMERAL_BUFFERS, recomputed before
-    every forces call by the CALC_VISC command)."""
+    every forces call by the CALC_VISC command); ``sigma`` is Grenier's
+    per-particle number density from the COMPUTE_DENSITY phase."""
     pp = fw.pp
     f_num = fluid_num(state.info)
     ptype = part_type(state.info)
@@ -121,8 +122,17 @@ def _pair_fields(fw: SimFramework, state: ParticleState, sps_tau=None,
         ptype=ptype,
         f_num=f_num,
     )
+    grenier = fw.sph_formulation == SPHFormulation.SPH_GRENIER
+    if grenier:
+        # Grenier precalc is P/sigma (forces_kernel.def:445-455)
+        if sigma is None:
+            sigma = jnp.ones((state.capacity,), jnp.float32)
+        fields["sigma"] = sigma
+        fields["p_precalc"] = press / jnp.maximum(sigma, 1e-30)
+        fields["g_vol"] = jnp.exp(state.extras["grenier_J"]) * \
+            state.extras["grenier_vol0"]
     # pressure precalc: F1 and friends use P/rho^2 (forces_kernel.def:416-467)
-    if fw.sph_formulation != SPHFormulation.SPH_F2:
+    elif fw.sph_formulation != SPHFormulation.SPH_F2:
         fields["p_precalc"] = press / (rho_phys * rho_phys)
     # per-particle dynamic viscosity for the laminar term
     if not fw.is_inviscid:
@@ -150,15 +160,18 @@ def compute_forces(
     chunk_cells: int = 256,
     sps_tau=None,
     effvisc=None,
+    sigma=None,
 ) -> ForcesOut:
     """One forces pass over the (sorted) particle state."""
     sp, pp = fw.sp, fw.pp
     h = sp.slength
-    fields = _pair_fields(fw, state, sps_tau=sps_tau, effvisc=effvisc)
+    fields = _pair_fields(fw, state, sps_tau=sps_tau, effvisc=effvisc,
+                          sigma=sigma)
 
     gx, gy, gz = (jnp.float32(g) for g in pp.gravity)
     eps = pp.epsartvisc
     dyn = fw.boundarytype == BoundaryType.DYN_BOUNDARY
+    grenier = fw.sph_formulation == SPHFormulation.SPH_GRENIER
     FLUID = ParticleType.FLUID
     BOUND = ParticleType.BOUNDARY
 
@@ -190,10 +203,16 @@ def compute_forces(
             cont_mask = g.mask & (c_fluid | c_bound) & (n_fluid | n_bound)
         else:
             cont_mask = g.mask & c_fluid & n_fluid
-        DrDt_term = m_n * vel_dot_pos * f
-        if fw.sph_formulation == SPHFormulation.SPH_F2:
-            # density-ratio correction (forces_kernel.def:2156-2171)
-            DrDt_term = DrDt_term * rho_c / rho_n
+        if grenier:
+            # Grenier: DrDt is actually DJ/Dt = -(1/sigma) sum (v.r) F;
+            # no neighbor mass, 1/sigma applied in finalize
+            # (forces_kernel.def:2016-2028, fixup :3183-3190)
+            DrDt_term = -vel_dot_pos * f
+        else:
+            DrDt_term = m_n * vel_dot_pos * f
+            if fw.sph_formulation == SPHFormulation.SPH_F2:
+                # density-ratio correction (forces_kernel.def:2156-2171)
+                DrDt_term = DrDt_term * rho_c / rho_n
         DrDt = jnp.where(cont_mask, DrDt_term, 0.0)
 
         DrDt = DrDt + _density_diffusion(
@@ -213,8 +232,23 @@ def compute_forces(
             pgrad = (c["press"] + n["press"]) / (rho_c * rho_n)
         else:
             pgrad = c["p_precalc"] + n["p_precalc"]
-        # scalar pair coefficient s such that DvDt += s * rel
-        s = jnp.where(mom_mask, -(pgrad * m_n * f), 0.0)
+        if grenier:
+            # pseudo surface tension between different fluids
+            # (forces_kernel.def:2212-2242)
+            if pp.epsinterface != 0.0:
+                diff_fluid = c["f_num"] != n["f_num"]
+                pgrad = pgrad + jnp.where(
+                    diff_fluid & c_fluid & n_fluid,
+                    pp.epsinterface
+                    * (jnp.abs(c["p_precalc"]) + jnp.abs(n["p_precalc"])),
+                    0.0,
+                )
+            # Grenier: DvDt -= pGradTerm F rel, no neighbor mass; the
+            # 1/rho_a factor is applied in finalize (forces_kernel.def:2386-2392)
+            s = jnp.where(mom_mask, -(pgrad * f), 0.0)
+        else:
+            # scalar pair coefficient s such that DvDt += s * rel
+            s = jnp.where(mom_mask, -(pgrad * m_n * f), 0.0)
 
         # --- viscosity ------------------------------------------------------
         if fw.visc.turbmodel == TurbulenceModel.ARTIFICIAL:
@@ -233,7 +267,13 @@ def compute_forces(
             # laminar viscous term (forces_kernel.def:2606-2626 + visc_avg.cu):
             # DvDt += 2 avg(mu) m_j/(rho_i rho_j) F * (viscous vector)
             mu_avg = _avg(fw.visc.avgop, c["dyn_visc"], n["dyn_visc"])
-            visc_coeff = 2.0 * mu_avg * m_n / (rho_c * rho_n)
+            if grenier:
+                # Grenier volumic coefficient (1/sigma_a + 1/sigma_b); the
+                # 1/rho_a factor comes from the fixup
+                # (forces_kernel.def:2633-2646, :2580-2586)
+                visc_coeff = mu_avg * (1.0 / c["sigma"] + 1.0 / n["sigma"])
+            else:
+                visc_coeff = 2.0 * mu_avg * m_n / (rho_c * rho_n)
             if fw.visc.viscmodel == ViscousModel.MONAGHAN:
                 # projection form (forces_kernel.def:2531-2561)
                 mon = jnp.where(vel_dot_pos < 0, vel_dot_pos / (g.r2 + eps), 0.0)
@@ -330,6 +370,10 @@ def compute_forces(
 
     # --- finalize (finalizeforcesDevice, forces_kernel.def:4037-4110) ------
     DvDt = merge_vec(sums, "DvDt")
+    if grenier:
+        # Grenier fixup: pair-sum force /= rho, DJ/Dt /= sigma
+        # (forces_kernel.def:3183-3190), applied before gravity
+        DvDt = DvDt / fields["rho"][:, None]
     DvDt = DvDt + jnp.where(
         is_fluid_c[:, None],
         jnp.stack([gx, gy, gz])[None, :],
@@ -346,9 +390,14 @@ def compute_forces(
         DvDt = apply_plane_forces(
             fw, state.pos, state.vel, state.mass, is_fluid_c, DvDt
         )
-    # convert physical DrDt to relative-density rate (forces_kernel.def:4581)
-    rho0 = eos._per_fluid(fw.pp, fields["f_num"], [f.rho0 for f in fw.pp.fluids])
-    DrDt = sums["DrDt"] / rho0
+    if grenier:
+        # Grenier: DrDt holds DJ/Dt = (pair sum)/sigma (fixup, :3183-3190);
+        # euler integrates J, density comes from the COMPUTE_DENSITY pass
+        DrDt = sums["DrDt"] / jnp.maximum(fields["sigma"], 1e-30)
+    else:
+        # convert physical DrDt to relative-density rate (forces_kernel.def:4581)
+        rho0 = eos._per_fluid(fw.pp, fields["f_num"], [f.rho0 for f in fw.pp.fluids])
+        DrDt = sums["DrDt"] / rho0
 
     if fw.has_xsph:
         xsph = merge_vec(sums, "xsph")
@@ -399,7 +448,12 @@ def _density_diffusion(fw, c, n, g, f, ff_mask, dt):
         gate = jnp.abs(c["press"] - n["press"]) >= jnp.abs(g_dot_rel * rho_c)
         c0 = eos._per_fluid(pp, c["f_num"], [fl.c0 for fl in pp.fluids])
         coeff = sp.densityDiffCoeff * 2.0 * sp.slength  # xi*2h (ProblemCore.cc:1416)
-        diff = coeff * c0 * (rho_n / rho_c - 1.0) * f * m_n
+        if fw.sph_formulation == SPHFormulation.SPH_GRENIER:
+            # volume-based variant (forces_kernel.def:1582-1592, 1938-1952):
+            # volume_ratio = vol_c/vol_n, weight -1 instead of neighbor mass
+            diff = coeff * c0 * (c["g_vol"] / n["g_vol"] - 1.0) * f * (-1.0)
+        else:
+            diff = coeff * c0 * (rho_n / rho_c - 1.0) * f * m_n
         return jnp.where(ff_mask & same_fluid & gate, -diff, 0.0)
 
     if ddt == DensityDiffusionType.FERRARI:

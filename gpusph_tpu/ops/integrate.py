@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..defs import BoundaryType, ParticleType, SimFlags
+from ..defs import BoundaryType, ParticleType, SimFlags, SPHFormulation
 from ..framework import SimFramework
 from ..state import ParticleState, part_type
 from .forces import ForcesOut
@@ -83,9 +83,23 @@ def euler_step(
     rho_mask = is_fluid
     if fw.boundarytype in (BoundaryType.DYN_BOUNDARY, BoundaryType.SA_BOUNDARY):
         rho_mask = rho_mask | is_bound
-    new_rho = jnp.where(rho_mask, state_n.rho + forces.DrDt * dt_eff, state_n.rho)
 
     extras = dict(state_n.extras)
+    if fw.sph_formulation == SPHFormulation.SPH_GRENIER:
+        # Grenier: forces.DrDt is DJ/Dt; euler evolves the log-volume J
+        # (euler_kernel.def continuity_integration GRENIER + write_volume:
+        # vol.y += dt*force.w, vol.w = exp(vol.y)*vol.x).  The density itself
+        # is refreshed by the COMPUTE_DENSITY pass before each forces call.
+        extras["grenier_J"] = jnp.where(
+            rho_mask,
+            state_n.extras["grenier_J"] + forces.DrDt * dt_eff,
+            state_n.extras["grenier_J"],
+        )
+        new_rho = state_n.rho
+    else:
+        new_rho = jnp.where(
+            rho_mask, state_n.rho + forces.DrDt * dt_eff, state_n.rho
+        )
     # internal energy integration (euler_kernel.def:182-196)
     if (fw.flags & SimFlags.ENABLE_INTERNAL_ENERGY) and "energy" in extras:
         extras["energy"] = jnp.where(

@@ -39,7 +39,7 @@ import numpy as np
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..defs import ParticleType, SimFlags
+from ..defs import ParticleType, SimFlags, SPHFormulation
 from ..framework import SimFramework
 from ..ops.filters import apply_filters
 from ..ops.forces import compute_forces
@@ -240,6 +240,15 @@ def make_sharded_chunk(
     n_cells = lg.n_cells
     plane = dd.plane_cells
     slab = dd.slab
+
+    if fw.sph_formulation == SPHFormulation.SPH_GRENIER:
+        # Grenier needs a sigma halo-exchange after the COMPUTE_DENSITY pass
+        # (the reference's UPDATE_EXTERNAL on BUFFER_SIGMA) — ghost particles
+        # near the halo edge have truncated sigma otherwise.  Single-device
+        # only for now.
+        raise NotImplementedError(
+            "SPH_GRENIER is not yet supported in the multi-device path"
+        )
 
     if use_pallas is None:
         use_pallas = pallas_supported(fw, lg) and jax.default_backend() != "cpu"

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..defs import ParticleType, Periodicity
 from ..defs import SimFlags as _SimFlags
+from ..defs import SPHFormulation as _SPHFormulation
 from ..framework import SimFramework, setup_framework
 from ..geometry import primitives as geo
 from ..ops import eos
@@ -535,6 +536,21 @@ class Problem:
             ),
             info=state.info.at[:n_total].set(jnp.asarray(np.concatenate(info_list))),
         )
+        if self.fw.sph_formulation == _SPHFormulation.SPH_GRENIER:
+            # Grenier volume buffer (BUFFER_VOLUME, euler_kernel.def
+            # write_volume): reference volume V0 = m/rho0(fluid), log-volume
+            # J = 0 at t=0; actual volume = exp(J)*V0
+            from ..ops import eos as _eos
+            from ..state import fluid_num as _fluid_num
+
+            rho0 = _eos._per_fluid(
+                self.fw.pp, _fluid_num(state.info),
+                [f.rho0 for f in self.fw.pp.fluids],
+            )
+            extras = dict(state.extras)
+            extras["grenier_vol0"] = jnp.asarray(state.mass / rho0, jnp.float32)
+            extras["grenier_J"] = jnp.zeros((capacity,), jnp.float32)
+            state = state.replace(extras=extras)
         return grid, state
 
 

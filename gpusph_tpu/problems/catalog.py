@@ -412,9 +412,10 @@ class WaveTank(Problem):
 
 class LockExchange(Problem):
     """Two-fluid gravity current (reference `src/problems/LockExchange.cu`):
-    heavy fluid behind a virtual gate at dimX/2, light fluid ahead; SPH_F2
-    multifluid formulation (the reference defaults to Grenier with F2 as the
-    documented alternative).  DYN boundaries, artificial viscosity."""
+    heavy fluid behind a virtual gate at dimX/2, light fluid ahead.  The
+    reference defaults to Grenier's sigma/volume formulation with F2 as the
+    documented alternative; select with ``formulation=grenier|f2`` (default
+    f2).  DYN boundaries, artificial viscosity."""
 
     name = "LockExchange"
 
@@ -424,10 +425,15 @@ class LockExchange(Problem):
         rho_light = self.get_option("rho0", 1000.0)
         rho_heavy = self.get_option("rho1", 1100.0)
         ppH = self.get_option("ppH", 32)
+        form = str(self.get_option("formulation", "f2")).lower()
+        formulation = (
+            SPHFormulation.SPH_GRENIER if form == "grenier"
+            else SPHFormulation.SPH_F2
+        )
 
         self.setup_framework(
             kernel=KernelType.WENDLAND,
-            formulation=SPHFormulation.SPH_F2,
+            formulation=formulation,
             boundary=BoundaryType.DYN_BOUNDARY,
             rheology=RheologyType.INVISCID,
             turbulence_model=TurbulenceModel.ARTIFICIAL,
