@@ -131,6 +131,9 @@ def _pair_fields(fw: SimFramework, state: ParticleState, sps_tau=None,
         fields["p_precalc"] = press / jnp.maximum(sigma, 1e-30)
         fields["g_vol"] = jnp.exp(state.extras["grenier_J"]) * \
             state.extras["grenier_vol0"]
+    elif fw.sph_formulation == SPHFormulation.SPH_HA:
+        # Hu & Adams precalc is plain P (forces_kernel.def:458-467)
+        fields["p_precalc"] = press
     # pressure precalc: F1 and friends use P/rho^2 (forces_kernel.def:416-467)
     elif fw.sph_formulation != SPHFormulation.SPH_F2:
         fields["p_precalc"] = press / (rho_phys * rho_phys)
@@ -172,6 +175,7 @@ def compute_forces(
     eps = pp.epsartvisc
     dyn = fw.boundarytype == BoundaryType.DYN_BOUNDARY
     grenier = fw.sph_formulation == SPHFormulation.SPH_GRENIER
+    ha = fw.sph_formulation == SPHFormulation.SPH_HA
     FLUID = ParticleType.FLUID
     BOUND = ParticleType.BOUNDARY
 
@@ -208,6 +212,10 @@ def compute_forces(
             # no neighbor mass, 1/sigma applied in finalize
             # (forces_kernel.def:2016-2028, fixup :3183-3190)
             DrDt_term = -vel_dot_pos * f
+        elif ha:
+            # Hu & Adams: central mass replaces the neighbor mass
+            # (forces_kernel.def:2031-2046)
+            DrDt_term = c["mass"] * vel_dot_pos * f
         else:
             DrDt_term = m_n * vel_dot_pos * f
             if fw.sph_formulation == SPHFormulation.SPH_F2:
@@ -232,7 +240,17 @@ def compute_forces(
             pgrad = (c["press"] + n["press"]) / (rho_c * rho_n)
         else:
             pgrad = c["p_precalc"] + n["p_precalc"]
-        if grenier:
+        if ha:
+            # Hu & Adams (non-SA): (P_a V_a^2 + P_b V_b^2) with the actual
+            # volumes V = m/rho, weighted 1/m_a — DvDt is
+            # -(1/rho_a)(1/V_a) sum (P_a V_a^2 + P_b V_b^2) grad W
+            # (forces_kernel.def:2267-2285, contribution :2432-2447)
+            m_c = jnp.maximum(c["mass"], 1e-30)  # pad rows have zero mass
+            v_c = m_c / rho_c
+            v_n = m_n / rho_n
+            pgrad = c["p_precalc"] * v_c * v_c + n["p_precalc"] * v_n * v_n
+            s = jnp.where(mom_mask, -(pgrad / m_c * f), 0.0)
+        elif grenier:
             # pseudo surface tension between different fluids
             # (forces_kernel.def:2212-2242)
             if pp.epsinterface != 0.0:
@@ -442,6 +460,15 @@ def _density_diffusion(fw, c, n, g, f, ff_mask, dt):
     m_n = n["mass"]
     same_fluid = c["f_num"] == n["f_num"]
     g_dot_rel = g.dot_rel(jnp.float32(gx), jnp.float32(gy), jnp.float32(gz))
+    ha = fw.sph_formulation == SPHFormulation.SPH_HA
+    if ha:
+        # actual volumes; Hu & Adams' variants replace the density-difference
+        # terms with mass/volume expressions so unequal particle masses do
+        # not drive spurious diffusion (forces_kernel.def:1639-1678,
+        # :1787-1815, :1954-1996; volume_fraction == 1 off SA boundaries)
+        m_c = jnp.maximum(c["mass"], 1e-30)
+        v_c = m_c / rho_c
+        v_n = jnp.maximum(m_n, 1e-30) / rho_n
 
     if ddt == DensityDiffusionType.COLAGROSSI:
         # gate: only when pressure jump exceeds the hydrostatic jump
@@ -452,6 +479,10 @@ def _density_diffusion(fw, c, n, g, f, ff_mask, dt):
             # volume-based variant (forces_kernel.def:1582-1592, 1938-1952):
             # volume_ratio = vol_c/vol_n, weight -1 instead of neighbor mass
             diff = coeff * c0 * (c["g_vol"] / n["g_vol"] - 1.0) * f * (-1.0)
+        elif ha:
+            # HA variant: volume ratio, weighted by the CENTRAL mass
+            # (forces_kernel.def:1954-1996)
+            diff = coeff * c0 * (v_c / v_n - 1.0) * f * c["mass"]
         else:
             diff = coeff * c0 * (rho_n / rho_c - 1.0) * f * m_n
         return jnp.where(ff_mask & same_fluid & gate, -diff, 0.0)
@@ -462,15 +493,29 @@ def _density_diffusion(fw, c, n, g, f, ff_mask, dt):
         grav_corr = -g_dot_rel * rho0_c / sq_c0
         max_ss = jnp.maximum(c["sspeed"], n["sspeed"])
         safe = g.r > 1e-4 * sp.slength
+        if ha:
+            # (rho_c - rho_n) replaced by m_a (1/V_a - 1/V_n), same-fluid
+            # pairs only (forces_kernel.def:1639-1678)
+            dd = c["mass"] * (1.0 / v_c - 1.0 / v_n)
+            ferr = jnp.where(safe, max_ss * (dd + grav_corr) / rho_c * g.r, 0.0)
+            return jnp.where(
+                ff_mask & same_fluid, sp.densityDiffCoeff * m_n * ferr * f, 0.0
+            )
         ferr = jnp.where(safe, max_ss * (rho_c - rho_n + grav_corr) / rho_c * g.r, 0.0)
         return jnp.where(ff_mask, sp.densityDiffCoeff * m_n * ferr * f, 0.0)
 
     if ddt == DensityDiffusionType.BREZZI:
         if dt is None:
             dt = jnp.zeros((), jnp.float32)
+        if ha:
+            # 2/(rho_c+rho_n) replaced by 2/(m_a (1/V_a + 1/V_n))
+            # (forces_kernel.def:1787-1815)
+            inv_rho_avg = 2.0 / (c["mass"] * (1.0 / v_c + 1.0 / v_n) + 1e-30)
+        else:
+            inv_rho_avg = 2.0 / (rho_c + rho_n)
         term = (
             sp.densityDiffCoeff
-            * ((2.0 / (rho_c + rho_n)) * (c["press"] - n["press"]) - g_dot_rel)
+            * (inv_rho_avg * (c["press"] - n["press"]) - g_dot_rel)
             * m_n
             / rho_n
             * f

@@ -426,10 +426,10 @@ class LockExchange(Problem):
         rho_heavy = self.get_option("rho1", 1100.0)
         ppH = self.get_option("ppH", 32)
         form = str(self.get_option("formulation", "f2")).lower()
-        formulation = (
-            SPHFormulation.SPH_GRENIER if form == "grenier"
-            else SPHFormulation.SPH_F2
-        )
+        formulation = {
+            "grenier": SPHFormulation.SPH_GRENIER,
+            "ha": SPHFormulation.SPH_HA,
+        }.get(form, SPHFormulation.SPH_F2)
 
         self.setup_framework(
             kernel=KernelType.WENDLAND,

@@ -167,6 +167,108 @@ def brute_forces(
     return DvDt, DrDt / rho0
 
 
+# --- Hu & Adams multi-fluid formulation ---------------------------------------
+
+
+def brute_ha_forces(
+    pos,
+    vel,
+    rho_tilde,
+    mass,
+    ptype,
+    f_num,
+    *,
+    h,
+    rho0s,
+    c0s,
+    gammas,
+    gravity,
+    boundary="dyn",
+    artvisc_alpha=0.0,
+    epsartvisc=None,
+    kinviscs=None,
+    colagrossi_xi=0.0,
+    radius_factor=2.0,
+):
+    """Hu & Adams (non-SA): continuity uses the CENTRAL mass, pressure
+    gradient is (P_a V_a^2 + P_b V_b^2)/m_a with actual volumes V = m/rho;
+    viscous/artificial terms as in the standard formulations.
+    Returns (DvDt, DrDt_tilde)."""
+    N = pos.shape[0]
+    pos = np.asarray(pos, np.float64)
+    vel = np.asarray(vel, np.float64)
+    mass = np.asarray(mass, np.float64)
+    rad = radius_factor * h
+    if epsartvisc is None:
+        epsartvisc = 0.01 * h * h
+
+    rho0 = np.asarray([rho0s[k] for k in f_num])
+    c0 = np.asarray([c0s[k] for k in f_num])
+    gamma = np.asarray([gammas[k] for k in f_num])
+    rho = (np.asarray(rho_tilde, np.float64) + 1.0) * rho0
+    press = eos_pressure(rho_tilde, rho0, c0, gamma)
+    sspeed = eos_sspeed(rho_tilde, c0, gamma)
+    vol = mass / rho
+
+    DvDt = np.zeros((N, 3))
+    DrDt = np.zeros(N)
+
+    for i in range(N):
+        for j in range(N):
+            if i == j:
+                continue
+            rel = pos[i] - pos[j]
+            r = np.linalg.norm(rel)
+            if r >= rad:
+                continue
+            relv = vel[i] - vel[j]
+            vdp = np.dot(relv, rel)
+            F = f_wendland(r, h)
+
+            i_fluid = ptype[i] == 0
+            j_fluid = ptype[j] == 0
+            both_ok = ptype[i] <= 1 and ptype[j] <= 1
+
+            if boundary == "dyn":
+                cont = both_ok
+            else:
+                cont = i_fluid and j_fluid
+            if cont:
+                DrDt[i] += mass[i] * vdp * F
+
+            if not i_fluid:
+                continue
+
+            if j_fluid or boundary == "dyn":
+                pg = press[i] * vol[i] ** 2 + press[j] * vol[j] ** 2
+                DvDt[i] -= pg / mass[i] * F * rel
+                if artvisc_alpha > 0 and vdp < 0:
+                    av = (
+                        vdp
+                        * h
+                        * artvisc_alpha
+                        * (sspeed[i] + sspeed[j])
+                        / ((r * r + epsartvisc) * (rho[i] + rho[j]))
+                    )
+                    DvDt[i] += av * mass[j] * F * rel
+                if kinviscs is not None:
+                    mu_i = kinviscs[f_num[i]] * rho[i]
+                    mu_j = kinviscs[f_num[j]] * rho[j]
+                    mu = 0.5 * (mu_i + mu_j)
+                    DvDt[i] += 2.0 * mu * mass[j] / (rho[i] * rho[j]) * F * relv
+                if colagrossi_xi > 0 and j_fluid and f_num[i] == f_num[j]:
+                    if abs(press[i] - press[j]) >= abs(
+                        np.dot(gravity, rel) * rho[i]
+                    ):
+                        coeff = colagrossi_xi * 2.0 * h * c0[i]
+                        DrDt[i] -= coeff * (vol[i] / vol[j] - 1.0) * F * mass[i]
+
+    fluid = ptype == 0
+    DvDt[fluid] += np.asarray(gravity)
+    DvDt[~fluid] = 0.0
+    return DvDt, DrDt / rho0
+
+
 # --- Grenier sigma/volume formulation ----------------------------------------
 
 
