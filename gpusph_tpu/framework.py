@@ -109,10 +109,13 @@ class SimFramework:
                     "Grenier's formulation only supports Molteni & Colagrossi "
                     "density diffusion (volume-ratio variant)"
                 )
-            if not v.is_inviscid and v.viscmodel != ViscousModel.MORRIS:
+            if not v.is_inviscid and v.viscmodel not in (
+                ViscousModel.MORRIS,
+                ViscousModel.ESPANOL_REVENGA,
+            ):
                 raise ValueError(
-                    "Grenier's formulation currently requires the Morris "
-                    "viscous model"
+                    "Grenier's formulation requires the Morris or "
+                    "Espanol-Revenga viscous model"
                 )
         if (
             self.densitydiffusiontype == DensityDiffusionType.BREZZI

@@ -145,6 +145,12 @@ def _pair_fields(fw: SimFramework, state: ParticleState, sps_tau=None,
             visccoeff = effvisc
         fields["dyn_visc"] = visccoeff * rho_phys
         fields["kinvisc"] = visccoeff
+        if fw.visc.viscmodel == ViscousModel.ESPANOL_REVENGA:
+            # second (bulk) viscosity, always dynamic (d_visc2coeff,
+            # forces_kernel.def:293-301)
+            fields["bulk_visc"] = eos._per_fluid(
+                pp, f_num, [f.bulk_visc for f in pp.fluids]
+            )
     if fw.visc.turbmodel == TurbulenceModel.SPS:
         if sps_tau is None:
             sps_tau = jnp.zeros((state.capacity, 6), jnp.float32)
@@ -281,7 +287,25 @@ def compute_forces(
 
         # accumulated relvel-direction coefficient
         sv = None
-        if not fw.is_inviscid:
+        if not fw.is_inviscid and fw.visc.viscmodel == ViscousModel.ESPANOL_REVENGA:
+            # Espanol & Revenga (Phys Rev E 2003) volumic term
+            # (forces_kernel.def:2650-2678):
+            # DvDt += coeff [ (5 mu/3 - zeta) v_ab
+            #                 + 5 (mu/3 + zeta) (v.r)/(r^2+eps) r_ab ]
+            # with coeff = m_b/(rho_a rho_b) F  (Grenier: (1/s_a+1/s_b) F)
+            visc_thirds = _avg(fw.visc.avgop, c["dyn_visc"], n["dyn_visc"]) / 3.0
+            bulk = _avg(fw.visc.avgop, c["bulk_visc"], n["bulk_visc"])
+            if grenier:
+                vvc = (1.0 / c["sigma"] + 1.0 / n["sigma"]) * f
+            else:
+                vvc = m_n / (rho_c * rho_n) * f
+            sv = jnp.where(mom_mask, vvc * (5.0 * visc_thirds - bulk), 0.0)
+            s = s + jnp.where(
+                mom_mask,
+                vvc * 5.0 * (visc_thirds + bulk) * vel_dot_pos / (g.r2 + eps),
+                0.0,
+            )
+        elif not fw.is_inviscid:
             # laminar viscous term (forces_kernel.def:2606-2626 + visc_avg.cu):
             # DvDt += 2 avg(mu) m_j/(rho_i rho_j) F * (viscous vector)
             mu_avg = _avg(fw.visc.avgop, c["dyn_visc"], n["dyn_visc"])

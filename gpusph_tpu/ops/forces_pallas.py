@@ -89,6 +89,8 @@ def pallas_supported(fw: SimFramework, grid: CellGrid) -> bool:
         return False
     if fw.densitydiffusiontype == DensityDiffusionType.BREZZI:
         return False  # needs the dt scalar; XLA path handles it
+    if not fw.is_inviscid and fw.visc.viscmodel == ViscousModel.ESPANOL_REVENGA:
+        return False  # XLA path only for now
     return True
 
 

@@ -70,6 +70,8 @@ def brute_forces(
     epsartvisc=None,
     kinvisc=0.0,
     visc_avgop="arithmetic",
+    visc_model="morris",  # "morris" or "espanol_revenga"
+    bulk_visc=0.0,  # dynamic second viscosity (Espanol & Revenga)
     lj_d=0.0,
     lj_r0=0.0,
     lj_p1=12.0,
@@ -134,7 +136,7 @@ def brute_forces(
                         / ((r * r + epsartvisc) * (rho[i] + rho[j]))
                     )
                     DvDt[i] += av * mass[j] * F * rel
-                # laminar Morris
+                # laminar viscosity
                 if kinvisc > 0:
                     mu_i = kinvisc * rho[i]
                     mu_j = kinvisc * rho[j]
@@ -144,7 +146,24 @@ def brute_forces(
                         mu = 2 * mu_i * mu_j / (mu_i + mu_j)
                     else:
                         mu = np.sqrt(mu_i * mu_j)
-                    DvDt[i] += 2.0 * mu * mass[j] / (rho[i] * rho[j]) * F * relv
+                    if visc_model == "espanol_revenga":
+                        # Espanol & Revenga 2003: coeff [ (5mu/3 - zeta) v_ab
+                        #   + 5 (mu/3 + zeta) (v.r)/(r^2+eps) r_ab ]
+                        mu3 = mu / 3.0
+                        zeta = bulk_visc
+                        coeff = mass[j] / (rho[i] * rho[j]) * F
+                        DvDt[i] += coeff * (
+                            (5.0 * mu3 - zeta) * relv
+                            + 5.0
+                            * (mu3 + zeta)
+                            * vdp
+                            / (r * r + epsartvisc)
+                            * rel
+                        )
+                    else:
+                        DvDt[i] += (
+                            2.0 * mu * mass[j] / (rho[i] * rho[j]) * F * relv
+                        )
                 # Molteni & Colagrossi density diffusion
                 if colagrossi_xi > 0 and j_fluid and i_fluid:
                     if abs(press[i] - press[j]) >= abs(

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 
 from gpusph_tpu import (
     BoundaryType,
+    ViscousModel,
     DensityDiffusionType,
     Fluid,
     ParticleType,
@@ -55,7 +56,9 @@ def make_random_scene(rng, n_fluid=200, n_bound=80, box=0.3):
     return st, ptype
 
 
-def run_case(rng, *, boundary, turb, kinvisc, diffusion, xi=0.0):
+def run_case(rng, *, boundary, turb, kinvisc, diffusion, xi=0.0,
+             visc_model=None, bulk_visc=0.0):
+    extra = {"visc_model": visc_model} if visc_model is not None else {}
     fw = setup_framework(
         boundary=boundary,
         turbulence_model=turb,
@@ -65,10 +68,12 @@ def run_case(rng, *, boundary, turb, kinvisc, diffusion, xi=0.0):
             deltap=DP, max_parts_per_cell=64, densityDiffCoeff=xi if xi else float("nan")
         ),
         physparams=PhysParams(
-            fluids=(Fluid(rho0=1000.0, gamma=7.0, c0=30.0, kinematic_visc=kinvisc),),
+            fluids=(Fluid(rho0=1000.0, gamma=7.0, c0=30.0,
+                          kinematic_visc=kinvisc, bulk_visc=bulk_visc),),
             gravity=(0.0, 0.0, -9.81),
             dcoeff=50.0,
         ),
+        **extra,
     ).finalize()
 
     st, _ = make_random_scene(rng)
@@ -97,6 +102,11 @@ def run_case(rng, *, boundary, turb, kinvisc, diffusion, xi=0.0):
         artvisc_alpha=0.3 if turb == TurbulenceModel.ARTIFICIAL else 0.0,
         epsartvisc=fw.pp.epsartvisc,
         kinvisc=kinvisc,
+        visc_model=(
+            "espanol_revenga"
+            if visc_model == ViscousModel.ESPANOL_REVENGA else "morris"
+        ),
+        bulk_visc=bulk_visc,
         lj_d=50.0,
         lj_r0=fw.pp.r0,
         colagrossi_xi=xi,
@@ -132,3 +142,11 @@ def test_dyn_colagrossi(rng):
     run_case(rng, boundary=BoundaryType.DYN_BOUNDARY,
              turb=TurbulenceModel.ARTIFICIAL, kinvisc=0.0,
              diffusion=DensityDiffusionType.COLAGROSSI, xi=0.1)
+
+
+def test_dyn_espanol_revenga(rng):
+    """Espanol & Revenga viscous model (volumic term, forces_kernel.def:2650)."""
+    run_case(rng, boundary=BoundaryType.DYN_BOUNDARY,
+             turb=TurbulenceModel.LAMINAR_FLOW, kinvisc=1e-4,
+             diffusion=DensityDiffusionType.NONE,
+             visc_model=ViscousModel.ESPANOL_REVENGA, bulk_visc=0.05)

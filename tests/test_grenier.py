@@ -193,6 +193,34 @@ def test_grenier_colagrossi_surface_tension(rng):
     run_grenier_case(rng, artvisc=0.2, xi=0.1, epsinterface=0.08)
 
 
+def test_grenier_espanol_revenga_smoke(rng):
+    """Grenier + Espanol-Revenga volumic coefficient (1/s_a+1/s_b): finite,
+    and damps relative motion (no brute-force reference yet)."""
+    from gpusph_tpu import ViscousModel
+
+    fluids = tuple(
+        Fluid(rho0=r, gamma=g, c0=c, kinematic_visc=1e-4, bulk_visc=0.05)
+        for r, g, c in zip(RHO0S, GAMMAS, C0S)
+    )
+    fw = setup_framework(
+        formulation=SPHFormulation.SPH_GRENIER,
+        boundary=BoundaryType.DYN_BOUNDARY,
+        rheology=RheologyType.NEWTONIAN,
+        visc_model=ViscousModel.ESPANOL_REVENGA,
+        flags=SimFlags.ENABLE_DTADAPT | SimFlags.ENABLE_MULTIFLUID,
+        simparams=SimParams(deltap=DP, max_parts_per_cell=64),
+        physparams=PhysParams(fluids=fluids, gravity=(0.0, 0.0, -9.81)),
+    ).finalize()
+    st, ptype, f_num = make_two_fluid_scene(rng)
+    grid = make_grid((0, 0, 0), (0.3, 0.3, 0.3), fw.influenceradius)
+    sst, aux = build_cells(grid, st)
+    sigma, rho_tilde = grenier_density_sigma(fw, grid, sst, aux, chunk_cells=16)
+    sst = sst.replace(rho=rho_tilde)
+    out = compute_forces(fw, grid, sst, aux, chunk_cells=16, sigma=sigma)
+    assert np.isfinite(np.asarray(out.DvDt)).all()
+    assert np.isfinite(np.asarray(out.DrDt)).all()
+
+
 def test_grenier_uniform_lattice_equilibrium(rng):
     """Uniform single-fluid lattice at rest: smoothed density = rho0, DJ/Dt=0,
     interior acceleration = gravity."""
