@@ -71,6 +71,10 @@ class Geometry:
     density: Optional[float] = None
     velocity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     feedback: bool = False  # enableFeedback: accumulate forces on this body
+    # setParticleMassByDensity analogue: m = dp^3 * physical_density(rho_init)
+    # per particle (reference ProblemAPI_1.cc setParticleMassByDensity +
+    # RTInstability.cu:207)
+    mass_by_density: bool = False
 
 
 @dataclasses.dataclass
@@ -497,7 +501,11 @@ class Problem:
             v = np.broadcast_to(np.asarray(g.velocity, np.float64), (n, 3))
             vel_list.append(v)
             rho_list.append(rho_t)
-            mass_list.append(np.full(n, mass))
+            if g.mass_by_density:
+                # m = dp^3 * physical_density(rho_init) per particle
+                mass_list.append(dp**3 * (np.asarray(rho_t) + 1.0) * rho0)
+            else:
+                mass_list.append(np.full(n, mass))
             packed = (
                 np.uint32(int(ptype))
                 | np.uint32(flags)

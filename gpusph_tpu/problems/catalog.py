@@ -722,3 +722,101 @@ def _tank_points(origin, inner_size, dp, layers):
 
 __all__ = ["DamBreak3D", "Poiseuille", "StillWater", "WaveTank",
            "LockExchange", "OpenChannel", "BuoyancyTest", "DamBreakGate"]
+
+
+class RTInstability(Problem):
+    """Rayleigh-Taylor instability (reference `src/problems/RTInstability.cu`):
+    0.4 x 0.4 x 0.8 box, light fluid (1000) below a sinusoidally perturbed
+    interface z = dimZ/2 + 0.05 sin(2 pi x / dimX), heavy fluid (2350) above;
+    Grenier's multi-fluid formulation with pseudo surface tension
+    (epsinterface=0.08), DYN boundaries, laminar viscosity 1e-2,
+    Molteni & Colagrossi diffusion (0.1).  Hydrostatic two-layer density
+    init and per-particle masses by density (RTInstability.cu:163-209)."""
+
+    name = "RTInstability"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        self.dimX, self.dimY, self.dimZ = 0.4, 0.4, 0.8
+        dimX, dimY, dimZ = self.dimX, self.dimY, self.dimZ
+        form = str(self.get_option("formulation", "grenier")).lower()
+        formulation = {
+            "grenier": SPHFormulation.SPH_GRENIER,
+            "ha": SPHFormulation.SPH_HA,
+        }.get(form, SPHFormulation.SPH_F2)
+        ddiff = {
+            "none": DensityDiffusionType.NONE,
+            "colagrossi": DensityDiffusionType.COLAGROSSI,
+        }[str(self.get_option("density_diffusion", "colagrossi")).lower()]
+        # MLS only when density diffusion is off (RTInstability.cu:60-66)
+        mls = int(self.get_option(
+            "mls", 0 if ddiff != DensityDiffusionType.NONE else 10))
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            formulation=formulation,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            rheology=RheologyType.NEWTONIAN,
+            turbulence_model=TurbulenceModel.LAMINAR_FLOW,
+            density_diffusion=ddiff,
+            flags=SimFlags.ENABLE_DTADAPT | SimFlags.ENABLE_MULTIFLUID,
+            filters=((FilterType.MLS, mls),) if mls > 0 else (),
+            simparams=SimParams(densityDiffCoeff=0.1),
+        )
+        self.set_deltap(self.get_option("deltap", 0.01))
+        dp = self.deltap
+        self.set_gravity(-9.81)
+        self.set_max_fall(dimZ)
+        self.light = self.add_fluid(1000.0)
+        self.heavy = self.add_fluid(2350.0)
+        self.set_equation_of_state(self.light, 7.0, 20.0)
+        self.set_equation_of_state(self.heavy, 7.0, 20.0)
+        self.set_kinematic_visc(self.light, 1.0e-2)
+        self.set_kinematic_visc(self.heavy, 1.0e-2)
+        # pseudo surface tension between the phases (set_interface_epsilon)
+        self._update_pp(epsinterface=0.08)
+        self.set_tend(self.get_option("tend", 1.5))
+        self.add_writer(freq=0.005)
+
+        self.make_universe_box((0, 0, 0), (dimX, dimY, dimZ))
+        self.add_box(
+            GeometryType.FIXED_BOUNDARY, FillType.BORDER,
+            (0, 0, 0), dimX, dimY, dimZ,
+            fluid_idx=self.heavy, mass_by_density=True,
+        )
+        bd = dp * self.dyn_layers
+        pts = geo.fill_box(
+            (bd, bd, bd), (dimX - 2 * bd, dimY - 2 * bd, dimZ - 2 * bd), dp
+        )
+        light_sel = pts[:, 2] < self._interface_z(pts[:, 0])
+        self.add_points(GeometryType.FLUID, pts[light_sel],
+                        fluid_idx=self.light, mass_by_density=True)
+        self.add_points(GeometryType.FLUID, pts[~light_sel],
+                        fluid_idx=self.heavy, mass_by_density=True)
+
+    def _interface_z(self, x):
+        return self.dimZ / 2 + 0.05 * np.sin(2 * np.pi / self.dimX * x)
+
+    def initial_density(self, pts, fluid_idx):
+        """Two-layer hydrostatic profile (RTInstability.cu:163-200): heavy
+        fluid (and walls) from the top surface; light fluid from the heavy
+        column above the local interface plus its own column below it."""
+        from ..ops import eos
+        import jax.numpy as jnp
+
+        g = self.get_gravity_magnitude()
+        H = self.dimZ
+        z = pts[:, 2]
+        if fluid_idx == self.heavy:
+            depth = np.maximum(0.0, H - z)
+            rt = eos.hydrostatic_density(
+                self.fw.pp, jnp.asarray(depth, jnp.float32), fluid_idx)
+            return np.asarray(rt, np.float64)
+        z_intf = self._interface_z(pts[:, 0])
+        rho0_h = self.fw.pp.fluids[self.heavy].rho0
+        rho0_l = self.fw.pp.fluids[self.light].rho0
+        P = rho0_h * g * np.maximum(0.0, H - z_intf) \
+            + rho0_l * g * np.maximum(0.0, z_intf - z)
+        rt = eos.density_from_pressure(
+            self.fw.pp, jnp.asarray(P, jnp.float32), fluid_idx)
+        return np.asarray(rt, np.float64)

@@ -94,3 +94,30 @@ def test_buoyancy_floating_body_rises():
     assert not bool(jnp.any(jnp.isnan(st.pos)))
     # half-density cube under water must accelerate upward
     assert z1 > z0 - 1e-4
+
+
+def test_rtinstability_grenier_run():
+    """RTInstability (reference RTInstability.cu): Grenier two-fluid with
+    hydrostatic two-layer init and per-particle masses; runs NaN-free and the
+    heavy phase starts sinking at the interface crests."""
+    P, grid, state = build("RTInstability", dict(deltap=0.04))
+    from gpusph_tpu.defs import SPHFormulation
+    from gpusph_tpu.integrator import Simulator
+    from gpusph_tpu.state import fluid_num
+
+    assert P.fw.sph_formulation == SPHFormulation.SPH_GRENIER
+    assert P.fw.pp.epsinterface == 0.08
+    fl = np.asarray(fluid_num(state.info))[
+        np.asarray(state.active & is_fluid(state.info))
+    ]
+    assert (fl == 0).any() and (fl == 1).any()
+    # per-particle masses by density: heavy fluid heavier than light
+    m = np.asarray(state.mass)
+    f = np.asarray(fluid_num(state.info))
+    act = np.asarray(state.active & is_fluid(state.info))
+    assert m[act & (f == 1)].mean() > 2 * m[act & (f == 0)].mean()
+
+    sim = Simulator(P.fw, grid, use_pallas=False)
+    st = sim.run(state, tend=0.0, maxiter=20)
+    assert not bool(jnp.any(jnp.isnan(st.vel)))
+    assert np.abs(np.asarray(st.rho)[np.asarray(st.active)]).max() < 0.3
