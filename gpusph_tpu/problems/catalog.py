@@ -820,3 +820,114 @@ class RTInstability(Problem):
         rt = eos.density_from_pressure(
             self.fw.pp, jnp.asarray(P, jnp.float32), fluid_idx)
         return np.asarray(rt, np.float64)
+
+
+class Bubble(Problem):
+    """Rising air bubble in water (reference `src/problems/Bubble.cu`):
+    R=0.025 bubble centered 2R above the floor of a 6R x 6R x 10R water
+    column; Grenier's formulation (h/R = 0.128) with pseudo surface tension
+    (epsinterface=0.08), DYN boundaries, air (rho0=1, gamma=1.4,
+    c0=198 sqrt(gH)) / water (rho0=1000, gamma=7, c0=14 sqrt(gH)),
+    hydrostatic two-phase init with per-particle masses by density and
+    repacking parameters (Bubble.cu:49-226)."""
+
+    name = "Bubble"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        R = self.R = self.get_option("R", 0.025)
+        H = self.H = 10 * R
+        lx = ly = 6 * R
+        lz = H
+        form = str(self.get_option("formulation", "grenier")).lower()
+        formulation = {
+            "grenier": SPHFormulation.SPH_GRENIER,
+            "ha": SPHFormulation.SPH_HA,
+        }.get(form, SPHFormulation.SPH_F2)
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            formulation=formulation,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            rheology=RheologyType.NEWTONIAN,
+            turbulence_model=TurbulenceModel.LAMINAR_FLOW,
+            flags=SimFlags.ENABLE_DTADAPT | SimFlags.ENABLE_MULTIFLUID
+            | SimFlags.ENABLE_REPACKING,
+        )
+        # Grenier sets h/R = 0.128 (Bubble.cu:65-67)
+        self.set_deltap(self.get_option("deltap", 0.128 * R / 1.3))
+        dp = self.deltap
+        self.set_gravity(-9.81)
+        g = self.get_gravity_magnitude()
+        self.set_max_fall(H)
+        maxvel = math.sqrt(g * H)
+
+        self.air = self.add_fluid(1.0)
+        self.water = self.add_fluid(1000.0)
+        self.set_equation_of_state(self.air, 1.4, 198 * maxvel)
+        self.set_equation_of_state(self.water, 7.0, 14 * maxvel)
+        self.set_kinematic_visc(self.air, 4.5e-3)
+        self.set_kinematic_visc(self.water, 3.5e-5)
+        self._update_pp(epsinterface=0.08)
+        c0_air = 198 * maxvel
+        self._update_sp(
+            repack_maxiter=1000,
+            repack_a=100 / (2.0 * c0_air * c0_air),
+            repack_alpha=2 * dp / c0_air,
+        )
+        self.set_tend(self.get_option("tend", 1.0))
+        self.add_writer(freq=0.01)
+
+        off = self.dyn_layers * dp
+        size = (lx + 2 * off, ly + 2 * off, lz + 2 * off)
+        origin = (-size[0] / 2, -size[1] / 2, -size[2] / 2)
+        self.origin_z = origin[2]
+        self.make_universe_box(origin, size)
+        self.add_box(
+            GeometryType.FIXED_BOUNDARY, FillType.BORDER,
+            origin, *size, fluid_idx=self.water, mass_by_density=True,
+        )
+        pts = geo.fill_box(
+            (origin[0] + off, origin[1] + off, origin[2] + off),
+            (lx, ly, lz), dp,
+        )
+        inside = self._in_bubble(pts)
+        self.add_points(GeometryType.FLUID, pts[inside],
+                        fluid_idx=self.air, mass_by_density=True)
+        self.add_points(GeometryType.FLUID, pts[~inside],
+                        fluid_idx=self.water, mass_by_density=True)
+
+    def _in_bubble(self, pts):
+        """Bubble of radius R centered on the axis, 2R above the floor
+        (Bubble.cu:156-163)."""
+        cz = self.origin_z + 2 * self.R
+        return (
+            pts[:, 0] ** 2 + pts[:, 1] ** 2 + (pts[:, 2] - cz) ** 2
+            < self.R * self.R
+        )
+
+    def initial_density(self, pts, fluid_idx):
+        """Hydrostatic init (Bubble.cu:166-226): water (and walls) from the
+        column top; air from the water pressure at the local upper bubble
+        surface plus its own small column."""
+        from ..ops import eos
+        import jax.numpy as jnp
+
+        g = self.get_gravity_magnitude()
+        H = self.H
+        depth = H - pts[:, 2] + self.origin_z
+        if fluid_idx == self.water:
+            rt = eos.hydrostatic_density(
+                self.fw.pp, jnp.asarray(depth, jnp.float32), fluid_idx)
+            return np.asarray(rt, np.float64)
+        # upper bubble surface above this (x,y); the sqrt argument can only
+        # be evaluated for in-bubble particles, clamp for safety
+        r2 = np.maximum(0.0, self.R**2 - pts[:, 0] ** 2 - pts[:, 1] ** 2)
+        z_intf = 2 * self.R + np.sqrt(r2)
+        rho0_w = self.fw.pp.fluids[self.water].rho0
+        rho0_a = self.fw.pp.fluids[self.air].rho0
+        P = rho0_w * g * (H - z_intf) \
+            + rho0_a * g * (z_intf - pts[:, 2] + self.origin_z)
+        rt = eos.density_from_pressure(
+            self.fw.pp, jnp.asarray(P, jnp.float32), fluid_idx)
+        return np.asarray(rt, np.float64)

@@ -121,3 +121,37 @@ def test_rtinstability_grenier_run():
     st = sim.run(state, tend=0.0, maxiter=20)
     assert not bool(jnp.any(jnp.isnan(st.vel)))
     assert np.abs(np.asarray(st.rho)[np.asarray(st.active)]).max() < 0.3
+
+
+def test_bubble_grenier_buoyancy_and_stability():
+    """Bubble (reference Bubble.cu): Grenier air/water bubble.  The initial
+    forces push the air phase strongly upward (buoyancy ~ rho_w/rho_a * g),
+    and a short run stays NaN-free with near-rest densities (acoustic-scale
+    dt means visible rise needs longer horizons than a unit test)."""
+    P, grid, state = build("Bubble", dict(deltap=0.008))
+    from gpusph_tpu.defs import SPHFormulation
+    from gpusph_tpu.integrator import Simulator
+    from gpusph_tpu.ops.forces import compute_forces
+    from gpusph_tpu.ops.grenier import grenier_density_sigma
+    from gpusph_tpu.ops.neighbors import build_cells
+    from gpusph_tpu.state import fluid_num
+
+    assert P.fw.sph_formulation == SPHFormulation.SPH_GRENIER
+    fw = P.fw.finalize()
+    f = np.asarray(fluid_num(state.info))
+    act = np.asarray(state.active & is_fluid(state.info))
+    n_air = int((act & (f == 0)).sum())
+    assert n_air > 50
+
+    sst, aux = build_cells(grid, state)
+    sigma, rho = grenier_density_sigma(fw, grid, sst, aux)
+    out = compute_forces(fw, grid, sst.replace(rho=rho), aux, sigma=sigma)
+    f_s = np.asarray(fluid_num(sst.info))
+    act_s = np.asarray(sst.active & is_fluid(sst.info))
+    az = np.asarray(out.DvDt)[:, 2]
+    assert az[act_s & (f_s == 0)].mean() > 20.0  # strong net buoyancy on air
+
+    sim = Simulator(P.fw, grid, use_pallas=False)
+    st = sim.run(state, tend=0.0, maxiter=20)
+    assert not bool(jnp.any(jnp.isnan(st.vel)))
+    assert np.abs(np.asarray(st.rho)[np.asarray(st.active)]).max() < 0.1
