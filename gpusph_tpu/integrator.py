@@ -32,12 +32,13 @@ from .bodies import (
     reduce_body_forces,
     step_bodies,
 )
-from .defs import SimFlags, SPHFormulation, TurbulenceModel
+from .defs import RheologyType, SimFlags, SPHFormulation, TurbulenceModel
 from .framework import SimFramework
 from .ops.visc import effective_viscosity, sps_stress
 from .ops.filters import apply_filters
 from .ops.forces import compute_forces
 from .ops.grenier import grenier_density_sigma
+from .ops.jacobi import jacobi_effpres
 from .ops.forces_pallas import (build_run_table, compute_forces_pallas,
                                 pallas_supported)
 from .ops.integrate import compute_dt, euler_step
@@ -104,23 +105,38 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
         return sps_tau, effvisc
 
     grenier = fw.sph_formulation == SPHFormulation.SPH_GRENIER
+    granular = fw.visc.rheologytype == RheologyType.GRANULAR
+
+    def prep(state, aux):
+        """Pre-forces phases: Grenier COMPUTE_DENSITY and the granular
+        EFFPRES Jacobi solve (PredictorCorrectorIntegrator.cc:1060-1185).
+        Returns the refreshed state (+ Grenier sigma)."""
+        sigma = None
+        if grenier:
+            # densityGrenierDevice (forces_kernel.cu:286): refresh sigma +
+            # smoothed density before every forces pass
+            sigma, rho = grenier_density_sigma(
+                fw, grid, state, aux, chunk_cells=chunk_cells)
+            state = state.replace(rho=rho)
+        if granular:
+            ep, info2, _ = jacobi_effpres(
+                fw, grid, state, aux, state.extra("effpres"),
+                chunk_cells=chunk_cells)
+            extras = dict(state.extras)
+            extras["effpres"] = ep
+            state = state.replace(extras=extras, info=info2)
+        return state, sigma
 
     if use_pallas:
         def forces(state, aux, dt, table=None):
+            state, _ = prep(state, aux)
             sps_tau, effvisc = calc_visc(state, aux)
             return compute_forces_pallas(fw, grid, state, aux, dt=dt,
                                          sps_tau=sps_tau, effvisc=effvisc,
                                          table=table), state
     else:
         def forces(state, aux, dt, table=None):
-            sigma = None
-            if grenier:
-                # COMPUTE_DENSITY phase (densityGrenierDevice,
-                # forces_kernel.cu:286): refresh sigma + smoothed density
-                # before every forces pass
-                sigma, rho = grenier_density_sigma(
-                    fw, grid, state, aux, chunk_cells=chunk_cells)
-                state = state.replace(rho=rho)
+            state, sigma = prep(state, aux)
             sps_tau, effvisc = calc_visc(state, aux)
             return compute_forces(fw, grid, state, aux, dt=dt,
                                   chunk_cells=chunk_cells,

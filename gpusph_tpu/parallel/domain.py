@@ -249,6 +249,14 @@ def make_sharded_chunk(
         raise NotImplementedError(
             "SPH_GRENIER is not yet supported in the multi-device path"
         )
+    from ..defs import RheologyType as _Rheo
+
+    if fw.visc.rheologytype == _Rheo.GRANULAR:
+        # the Jacobi effective-pressure solve needs a halo exchange per
+        # iteration; single-device only for now
+        raise NotImplementedError(
+            "granular rheology is not yet supported in the multi-device path"
+        )
 
     if use_pallas is None:
         use_pallas = pallas_supported(fw, lg) and jax.default_backend() != "cpu"

@@ -185,6 +185,12 @@ class SimParams:
     repack_a: float = 0.1
     repack_alpha: float = 0.01
 
+    # Jacobi effective-pressure solver (granular rheology,
+    # reference `src/simparams.h:244-258`)
+    jacobi_maxiter: int = 1000
+    jacobi_backerr: float = 1e-5
+    jacobi_residual: float = 1e-6
+
     # internal-energy computation
     # (reference tracks this via ENABLE_INTERNAL_ENERGY simflag)
 

@@ -33,6 +33,7 @@ from ..params import Fluid, PhysParams, SimParams
 from ..state import (
     FG_COMPUTE_FORCE,
     FG_MOVING_BOUNDARY,
+    FG_SEDIMENT,
     ParticleState,
     empty_state,
 )
@@ -75,6 +76,9 @@ class Geometry:
     # per particle (reference ProblemAPI_1.cc setParticleMassByDensity +
     # RTInstability.cu:207)
     mass_by_density: bool = False
+    # granular sediment phase: sets FG_SEDIMENT on the particles
+    # (reference DamBreakMobileBed.cu:178)
+    sediment: bool = False
 
 
 @dataclasses.dataclass
@@ -497,6 +501,8 @@ class Problem:
             else:
                 rho_t = np.zeros(n)
 
+            if g.sediment:
+                flags = flags | FG_SEDIMENT
             pos_list.append(pts)
             v = np.broadcast_to(np.asarray(g.velocity, np.float64), (n, 3))
             vel_list.append(v)
@@ -529,6 +535,10 @@ class Problem:
         extras = {}
         if self.fw.flags & _SimFlags.ENABLE_INTERNAL_ENERGY:
             extras["energy"] = jnp.zeros((capacity,), jnp.float32)
+        from ..defs import RheologyType as _Rheo
+        if self.fw.visc.rheologytype == _Rheo.GRANULAR:
+            # effective-pressure buffer for the Jacobi solver (BUFFER_EFFPRES)
+            extras["effpres"] = jnp.zeros((capacity,), jnp.float32)
         state = empty_state(capacity, extras)
         pos = np.concatenate(pos_list).astype(np.float32)
         state = state.replace(

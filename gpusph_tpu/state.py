@@ -44,6 +44,7 @@ FG_CORNER = 1 << 8  # corner vertex at open boundaries
 FG_SURFACE = 1 << 9  # free-surface particle (set by post-processing)
 FG_SEDIMENT = 1 << 10  # granular sediment particle
 FG_INACTIVE = 1 << 11  # disabled particle (kept for id continuity)
+FG_INTERFACE = 1 << 12  # sediment/phase interface particle (post-processing)
 
 FLUID_NUM_SHIFT = 16
 FLUID_NUM_MASK = 0xFF
@@ -176,4 +177,5 @@ __all__ = [
     "FG_SURFACE",
     "FG_SEDIMENT",
     "FG_INACTIVE",
+    "FG_INTERFACE",
 ]
