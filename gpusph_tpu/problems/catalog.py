@@ -931,3 +931,158 @@ class Bubble(Problem):
         rt = eos.density_from_pressure(
             self.fw.pp, jnp.asarray(P, jnp.float32), fluid_idx)
         return np.asarray(rt, np.float64)
+
+
+class DamBreakMobileBed(Problem):
+    """Dam break over an erodible sediment bed (reference
+    `src/problems/DamBreakMobileBed.cu`): Hu & Adams formulation, granular
+    rheology with the Jacobi effective-pressure solver, periodic Y, DYN
+    boundaries.  Water (rho0=1000) over a saturated sand bed
+    (rho1 = phi rho0 + (1-phi) rho_grain = 1892, sinpsi=0.5,
+    limiting kinematic viscosity 0.0961).  The reference loads its geometry
+    from HDF5 dumps (DamBreakMobileBed.cu:134-139); this build constructs the
+    equivalent scene procedurally: a flat flume with a sediment layer of
+    height hs topped at z=0 and a water column of height hw behind a virtual
+    dam at x=0, scaled by the ``lx/hw/hs/deltap`` options."""
+
+    name = "DamBreakMobileBed"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        ddiff = {
+            "ferrari": DensityDiffusionType.FERRARI,
+            "brezzi": DensityDiffusionType.BREZZI,
+            "colagrossi": DensityDiffusionType.COLAGROSSI,
+        }[str(self.get_option("density_diffusion", "ferrari")).lower()]
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            formulation=SPHFormulation.SPH_HA,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            periodicity=Periodicity.Y,
+            rheology=RheologyType.GRANULAR,
+            turbulence_model=TurbulenceModel.LAMINAR_FLOW,
+            density_diffusion=ddiff,
+            flags=SimFlags.ENABLE_DTADAPT | SimFlags.ENABLE_MULTIFLUID,
+            simparams=SimParams(
+                densityDiffCoeff=0.05,
+                jacobi_maxiter=int(self.get_option("jacobi_maxiter", 10000)),
+                jacobi_backerr=1e-3,
+                jacobi_residual=1e-3,
+            ),
+        )
+        self.set_deltap(self.get_option("deltap", 0.01))
+        dp = self.deltap
+        self.set_gravity(-9.81)
+        g = self.get_gravity_magnitude()
+
+        # geometry (scaled-down by default is NOT applied: reference scales)
+        hs = self.hs = self.get_option("hs", 0.1)  # sediment height
+        hw = self.hw = self.get_option("hw", 0.35)  # water height
+        lx = self.get_option("lx", 8.2)
+        lx_dam = self.get_option("lx_dam", 3.1)  # reservoir length (x<0)
+        ly = 31 * dp
+        lz = self.get_option("lz", 2.2)
+        self.zi = 0.0  # sediment/water interface height
+
+        rho0 = 1000.0
+        phi = 0.47
+        rhog = 2683.0
+        rho1 = phi * rho0 + (1.0 - phi) * rhog
+        c0 = 10.0 * math.sqrt(g * hw)
+        self.set_max_fall(hw)
+
+        water = self.water = self.add_fluid(rho0)
+        sed = self.sed = self.add_fluid(rho1)
+        self.set_dynamic_visc(water, rho0 * 1.0e-6)
+        self.set_kinematic_visc(sed, 1.0e-6)
+        f = dataclasses_replace(self.fw.pp.fluids[sed], sinpsi=0.5, cohesion=0.0)
+        self._update_pp(
+            fluids=tuple(
+                f if i == sed else fl
+                for i, fl in enumerate(self.fw.pp.fluids)
+            ),
+            limiting_kinvisc=self.get_option("effvisc_max", 0.0960952),
+        )
+        self.set_equation_of_state(water, 7.0, c0)
+        self.set_equation_of_state(sed, 7.0, c0)
+        self.set_tend(self.get_option("tend", 20.0))
+        self.add_writer(freq=0.0625)
+
+        layers = self.dyn_layers
+        wall = layers * dp
+        origin = (-lx_dam, 0.0, -hs - wall)
+        size = (lx, ly, lz)
+        self.make_universe_box(origin, size)
+        # flume floor (periodic Y: no side walls) + end walls
+        self.add_points(
+            GeometryType.FIXED_BOUNDARY,
+            geo.fill_box(
+                (origin[0] + dp / 2, dp / 2, -hs - (layers - 1) * dp),
+                (lx - dp, ly - dp, (layers - 1) * dp), dp,
+            ),
+            fluid_idx=water,
+        )
+        for x0 in (origin[0] + dp / 2, origin[0] + lx - dp / 2 - (layers - 1) * dp):
+            self.add_points(
+                GeometryType.FIXED_BOUNDARY,
+                geo.fill_box(
+                    (x0, dp / 2, -hs), ((layers - 1) * dp, ly - dp, lz - wall),
+                    dp,
+                ),
+                fluid_idx=water,
+            )
+        bd = wall  # keep fluid clear of the end walls
+        # sediment bed over the whole flume: z in [-hs, 0)
+        self.add_points(
+            GeometryType.FLUID,
+            geo.fill_box(
+                (origin[0] + bd, dp / 2, -hs + dp / 2),
+                (lx - 2 * bd, ly - dp, hs - dp / 2), dp,
+            ),
+            fluid_idx=sed, sediment=True, mass_by_density=True,
+        )
+        # water column behind the dam (x < 0), over the bed
+        self.add_points(
+            GeometryType.FLUID,
+            geo.fill_box(
+                (origin[0] + bd, dp / 2, dp / 2),
+                (lx_dam - bd - dp / 2, ly - dp, hw - dp / 2), dp,
+            ),
+            fluid_idx=water, mass_by_density=True,
+        )
+
+    def initial_density(self, pts, fluid_idx):
+        """Hydrostatic init (DamBreakMobileBed.cu:170-186): water from the
+        column top, sediment from the full water load plus its own column."""
+        from ..ops import eos
+        import jax.numpy as jnp
+
+        g = self.get_gravity_magnitude()
+        rho0_w = self.fw.pp.fluids[self.water].rho0
+        rho0_s = self.fw.pp.fluids[self.sed].rho0
+        z = pts[:, 2]
+        if fluid_idx == self.sed:
+            P = self.hw * g * rho0_w + (self.zi - z) * g * rho0_s
+        else:
+            P = np.maximum(0.0, (self.hw - z) * g * rho0_w)
+        rt = eos.density_from_pressure(
+            self.fw.pp, jnp.asarray(P, jnp.float32), fluid_idx)
+        return np.asarray(rt, np.float64)
+
+    def build(self, capacity=None):
+        grid, state = super().build(capacity)
+        # warm-start the effective pressure with the lithostatic profile
+        # (DamBreakMobileBed.cu:190-196)
+        import jax.numpy as jnp
+        from ..state import FG_SEDIMENT as _SED
+        from ..state import has_flag as _hf
+
+        g = self.get_gravity_magnitude()
+        drho = abs(self.fw.pp.fluids[1].rho0 - self.fw.pp.fluids[0].rho0)
+        z = state.pos[:, 2]
+        ep = jnp.maximum(drho * g * (self.deltap + self.zi - z), 0.0)
+        ep = jnp.where(_hf(state.info, _SED), ep, 0.0)
+        extras = dict(state.extras)
+        extras["effpres"] = ep.astype(jnp.float32)
+        return grid, state.replace(extras=extras)

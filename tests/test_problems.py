@@ -155,3 +155,31 @@ def test_bubble_grenier_buoyancy_and_stability():
     st = sim.run(state, tend=0.0, maxiter=20)
     assert not bool(jnp.any(jnp.isnan(st.vel)))
     assert np.abs(np.asarray(st.rho)[np.asarray(st.active)]).max() < 0.1
+
+
+def test_dambreak_mobile_bed_runs():
+    """DamBreakMobileBed (reference DamBreakMobileBed.cu): HA + granular +
+    Jacobi effective pressure, periodic Y.  Scaled-down scene runs NaN-free;
+    the sediment bed holds (yield) while the water front collapses."""
+    P, grid, state = build(
+        "DamBreakMobileBed",
+        dict(deltap=0.05, lx=2.0, lx_dam=0.8, lz=0.8, jacobi_maxiter=60),
+    )
+    from gpusph_tpu.defs import RheologyType, SPHFormulation
+    from gpusph_tpu.integrator import Simulator
+    from gpusph_tpu.state import FG_SEDIMENT, has_flag
+
+    assert P.fw.sph_formulation == SPHFormulation.SPH_HA
+    assert P.fw.visc.rheologytype == RheologyType.GRANULAR
+    sed = np.asarray(has_flag(state.info, FG_SEDIMENT) & state.active)
+    assert sed.sum() > 500
+    assert float(state.extras["effpres"].max()) > 100.0  # lithostatic warm start
+
+    sim = Simulator(P.fw, grid, use_pallas=False)
+    st = sim.run(state, tend=0.0, maxiter=10)
+    assert not bool(jnp.any(jnp.isnan(st.vel)))
+    assert np.isfinite(np.asarray(st.extras["effpres"])).all()
+    # water front moves right; the deep bed barely moves in 10 steps
+    sed2 = np.asarray(has_flag(st.info, FG_SEDIMENT) & st.active)
+    vmag_bed = np.linalg.norm(np.asarray(st.vel)[sed2], axis=1)
+    assert np.median(vmag_bed) < 0.5
