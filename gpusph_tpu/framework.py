@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field, replace
-from typing import Tuple
+from typing import Callable, Optional, Tuple
 
 from .defs import (
     AverageOperator,
@@ -76,6 +76,12 @@ class SimFramework:
     # geometric plane boundaries ((point3, normal3), ...) for ENABLE_PLANES
     # (reference `src/planes.h`, GeometryForce `forces_kernel.cu:190-210`)
     planes: Tuple[Tuple[Tuple[float, float, float], Tuple[float, float, float]], ...] = ()
+    # variable gravity: traceable t -> (gx, gy, gz), evaluated inside the
+    # jitted step before each forces pass (the reference's per-iteration
+    # ProblemCore::g_callback, `src/ProblemCore.h:539` + simparams gcallback;
+    # used e.g. by Seiche, `src/problems/Seiche.cu:93-100`).  None = constant
+    # physparams.gravity.  Compared by identity for jit retrace caching.
+    gcallback: Optional[Callable] = None
 
     def __post_init__(self):
         self.validate()

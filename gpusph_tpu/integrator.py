@@ -128,20 +128,23 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
         return state, sigma
 
     if use_pallas:
-        def forces(state, aux, dt, table=None):
+        def forces(state, aux, dt, t, table=None):
             state, _ = prep(state, aux)
             sps_tau, effvisc = calc_visc(state, aux)
             return compute_forces_pallas(fw, grid, state, aux, dt=dt,
                                          sps_tau=sps_tau, effvisc=effvisc,
                                          table=table), state
     else:
-        def forces(state, aux, dt, table=None):
+        def forces(state, aux, dt, t, table=None):
             state, sigma = prep(state, aux)
             sps_tau, effvisc = calc_visc(state, aux)
             return compute_forces(fw, grid, state, aux, dt=dt,
                                   chunk_cells=chunk_cells,
                                   sps_tau=sps_tau, effvisc=effvisc,
-                                  sigma=sigma), state
+                                  sigma=sigma, t=t), state
+
+    def gravity_at(t):
+        return fw.gcallback(t) if fw.gcallback is not None else fw.pp.gravity
 
     specs = tuple(bodies_specs or ())
 
@@ -153,19 +156,20 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
         state = apply_filters(fw, grid, state, aux, it)
 
         # PREDICTOR: forces at n, integrate to n* with dt/2
-        f1, state = forces(state, aux, dt, table)
+        f1, state = forces(state, aux, dt, t, table)
         half = euler_step(fw, state, f1, dt * 0.5, step=1, grid=grid)
         if specs:
             b1 = reduce_body_forces(specs, state, f1.DvDt, bodies)
-            b_half = step_bodies(specs, b1, fw.pp.gravity, t, dt * 0.5)
+            b_half = step_bodies(specs, b1, gravity_at(t), t, dt * 0.5)
             half = apply_body_motion(specs, half, b_half, dt * 0.5)
 
         # CORRECTOR: forces at n*, integrate n -> n+1 with dt
-        f2, half = forces(half, aux, dt, table)
+        f2, half = forces(half, aux, dt, t + dt * 0.5, table)
         new_state = euler_step(fw, state, f2, dt, step=2, full_dt=dt, grid=grid)
         if specs:
             b2 = reduce_body_forces(specs, half, f2.DvDt, bodies)
-            new_bodies = step_bodies(specs, b2, fw.pp.gravity, t + dt * 0.5, dt)
+            new_bodies = step_bodies(
+                specs, b2, gravity_at(t + dt * 0.5), t + dt * 0.5, dt)
             new_state = apply_body_motion(specs, new_state, new_bodies, dt)
         else:
             new_bodies = bodies

@@ -170,6 +170,7 @@ def compute_forces(
     sps_tau=None,
     effvisc=None,
     sigma=None,
+    t=None,
 ) -> ForcesOut:
     """One forces pass over the (sorted) particle state."""
     sp, pp = fw.sp, fw.pp
@@ -177,7 +178,12 @@ def compute_forces(
     fields = _pair_fields(fw, state, sps_tau=sps_tau, effvisc=effvisc,
                           sigma=sigma)
 
-    gx, gy, gz = (jnp.float32(g) for g in pp.gravity)
+    if fw.gcallback is not None:
+        # variable gravity (ProblemCore::g_callback, evaluated per pass)
+        gvec = fw.gcallback(t if t is not None else jnp.float32(0.0))
+        gx, gy, gz = (jnp.asarray(c, jnp.float32) for c in gvec)
+    else:
+        gx, gy, gz = (jnp.float32(g) for g in pp.gravity)
     eps = pp.epsartvisc
     dyn = fw.boundarytype == BoundaryType.DYN_BOUNDARY
     grenier = fw.sph_formulation == SPHFormulation.SPH_GRENIER
@@ -230,7 +236,7 @@ def compute_forces(
         DrDt = jnp.where(cont_mask, DrDt_term, 0.0)
 
         DrDt = DrDt + _density_diffusion(
-            fw, c, n, g, f, g.mask & c_fluid & n_fluid, dt
+            fw, c, n, g, f, g.mask & c_fluid & n_fluid, dt, (gx, gy, gz)
         )
         out["DrDt"] = DrDt
 
@@ -467,23 +473,28 @@ def compute_forces(
     )
 
 
-def _density_diffusion(fw, c, n, g, f, ff_mask, dt):
+def _density_diffusion(fw, c, n, g, f, ff_mask, dt, gvec=None):
     """Density-diffusion DrDt contribution (physical units).
 
     Ferrari: forces_kernel.def:1609-1640; Colagrossi: :1910-1953;
     Brezzi: :1763-1790.  All restricted to fluid-fluid pairs.
+    ``gvec`` carries the (possibly time-dependent) gravity components.
     """
     ddt = fw.densitydiffusiontype
     if ddt == DensityDiffusionType.NONE:
         return jnp.zeros_like(g.r2)
 
     pp, sp = fw.pp, fw.sp
-    gx, gy, gz = pp.gravity
+    gx, gy, gz = gvec if gvec is not None else pp.gravity
     rho_c = c["rho"]
     rho_n = n["rho"]
     m_n = n["mass"]
     same_fluid = c["f_num"] == n["f_num"]
-    g_dot_rel = g.dot_rel(jnp.float32(gx), jnp.float32(gy), jnp.float32(gz))
+    g_dot_rel = g.dot_rel(
+        jnp.asarray(gx, jnp.float32),
+        jnp.asarray(gy, jnp.float32),
+        jnp.asarray(gz, jnp.float32),
+    )
     ha = fw.sph_formulation == SPHFormulation.SPH_HA
     if ha:
         # actual volumes; Hu & Adams' variants replace the density-difference

@@ -91,6 +91,8 @@ def pallas_supported(fw: SimFramework, grid: CellGrid) -> bool:
         return False  # needs the dt scalar; XLA path handles it
     if not fw.is_inviscid and fw.visc.viscmodel == ViscousModel.ESPANOL_REVENGA:
         return False  # XLA path only for now
+    if fw.gcallback is not None:
+        return False  # gravity is baked as a kernel constant; XLA path
     return True
 
 

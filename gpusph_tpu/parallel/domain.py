@@ -257,6 +257,10 @@ def make_sharded_chunk(
         raise NotImplementedError(
             "granular rheology is not yet supported in the multi-device path"
         )
+    if fw.gcallback is not None:
+        raise NotImplementedError(
+            "variable gravity is not yet supported in the multi-device path"
+        )
 
     if use_pallas is None:
         use_pallas = pallas_supported(fw, lg) and jax.default_backend() != "cpu"

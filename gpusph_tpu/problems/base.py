@@ -210,6 +210,12 @@ class Problem:
     def set_artificial_visc(self, alpha: float):
         self._update_pp(artvisccoeff=alpha)
 
+    def set_gravity_callback(self, fn):
+        """Variable gravity: traceable ``t -> (gx, gy, gz)`` evaluated before
+        every forces pass (reference ``ProblemCore::g_callback`` +
+        ``simparams()->gcallback``, used by Seiche)."""
+        self.fw = dataclasses.replace(self.fw, gcallback=fn)
+
     def set_dynamic_boundaries_layers(self, n: int):
         self.dyn_layers = n
 

@@ -1086,3 +1086,61 @@ class DamBreakMobileBed(Problem):
         extras = dict(state.extras)
         extras["effpres"] = ep.astype(jnp.float32)
         return grid, state.replace(extras=extras)
+
+
+class Seiche(Problem):
+    """Sloshing tank under oscillating lateral gravity (reference
+    `src/problems/Seiche.cu`): water column H=0.5 in a sqrt(2)H x H/sqrt(2)
+    x 1.5H tank, SPS turbulence, MLS filter every 20 iterations, and a
+    variable-gravity callback g_x(t) = 2 sin(9.8 (t - t0)) active for
+    t in (gtstart, gtend) (Seiche.cu:93-100)."""
+
+    name = "Seiche"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        H = self.H = 0.5
+        l = math.sqrt(2.0) * H
+        w = l / 2
+        h = 1.5 * H
+        gtstart = float(self.get_option("gtstart", 0.3))
+        gtend = float(self.get_option("gtend", 3.0))
+        mls = int(self.get_option("mls", 20))
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.LJ_BOUNDARY,
+            rheology=RheologyType.NEWTONIAN,
+            turbulence_model=TurbulenceModel.SPS,
+            flags=SimFlags.ENABLE_DTADAPT,
+            filters=((FilterType.MLS, mls),) if mls > 0 else (),
+            simparams=SimParams(dtadaptfactor=0.2),
+        )
+        self.set_deltap(self.get_option("deltap", 0.015))
+        dp = self.deltap
+        self.set_timestep(4e-5)
+        self.set_gravity(-9.81)
+        self.set_max_fall(H)
+        fl = self.add_fluid(1000.0)
+        self.set_equation_of_state(fl, 7.0, 20.0)
+        self.set_kinematic_visc(fl, 5.0e-6)
+        self.set_tend(self.get_option("tend", 10.0))
+        self.add_writer(freq=0.1)
+
+        import jax.numpy as jnp
+
+        def g_callback(t):
+            # Seiche.cu:93-100
+            on = (t > gtstart) & (t < gtend)
+            gx = jnp.where(on, 2.0 * jnp.sin(9.8 * (t - gtstart)), 0.0)
+            return (gx, jnp.zeros_like(gx), jnp.full_like(gx, -9.81))
+
+        self.set_gravity_callback(g_callback)
+
+        self.make_universe_box((0, 0, 0), (l, w, h))
+        self.add_box(GeometryType.FIXED_BOUNDARY, FillType.BORDER,
+                     (0, 0, 0), l, w, h)
+        wd = dp
+        self.add_box(GeometryType.FLUID, FillType.SOLID,
+                     (wd, wd, wd), l - 2 * wd, w - 2 * wd, H - 2 * wd)
+        self.set_water_level(H)

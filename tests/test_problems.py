@@ -183,3 +183,32 @@ def test_dambreak_mobile_bed_runs():
     sed2 = np.asarray(has_flag(st.info, FG_SEDIMENT) & st.active)
     vmag_bed = np.linalg.norm(np.asarray(st.vel)[sed2], axis=1)
     assert np.median(vmag_bed) < 0.5
+
+
+def test_seiche_variable_gravity():
+    """Seiche (reference Seiche.cu): oscillating lateral gravity through the
+    g_callback path; with forcing active from t=0 the fluid picks up a net
+    lateral acceleration, and the compiled chunk evaluates gravity per step."""
+    P, grid, state = build("Seiche", dict(deltap=0.05, gtstart=0.0, gtend=3.0))
+    from gpusph_tpu.integrator import Simulator
+    from gpusph_tpu.ops.forces import compute_forces
+    from gpusph_tpu.ops.neighbors import build_cells
+
+    fw = P.fw.finalize()
+    assert fw.gcallback is not None
+    sst, aux = build_cells(grid, state)
+    # forcing at t where sin() ~ 1: mean lateral accel ~ 2 m/s^2 on fluid
+    out = compute_forces(fw, grid, sst, aux, t=jnp.float32(0.16))
+    act = np.asarray(sst.active & is_fluid(sst.info))
+    ax = np.asarray(out.DvDt)[act, 0]
+    assert ax.mean() > 1.0
+    # at t past gtend the forcing is off
+    out0 = compute_forces(fw, grid, sst, aux, t=jnp.float32(5.0))
+    ax0 = np.asarray(out0.DvDt)[act, 0]
+    assert abs(ax0.mean()) < 0.2
+
+    sim = Simulator(P.fw, grid, use_pallas=False)
+    st = sim.run(state, tend=0.0, maxiter=10)
+    assert not bool(jnp.any(jnp.isnan(st.vel)))
+    vx = np.asarray(st.vel)[np.asarray(st.active & is_fluid(st.info)), 0]
+    assert vx.mean() > 0.0  # sloshing started in +x
