@@ -82,15 +82,18 @@ def main(argv=None):
     if args.repack or args.repack_only:
         from .repacking import run_repacking
 
-        state = run_repacking(sim, state)
+        state = run_repacking(sim, state, outdir=outdir)
         if args.repack_only:
             return 0
 
     if args.resume:
-        state, header, _ = load_hotfile(args.resume)
+        from .bodies import bodies_from_dict
+
+        state, header, body_dict = load_hotfile(args.resume)
         sim.t = header["t"]
         sim.dt = header["dt"]
         sim.iterations = header["iterations"]
+        sim.bodies = bodies_from_dict(body_dict)
         print(f"Resumed from {args.resume} @ t={sim.t} it={sim.iterations}")
 
     writers = WriterDispatcher(
@@ -101,6 +104,7 @@ def main(argv=None):
         keep_hot=args.checkpoints,
         gages=problem.gages,
         n_bodies=len(sim.bodies_specs),
+        grid=grid,
     )
 
     write_every = problem.vtk_write_every or 0.0

@@ -39,8 +39,8 @@ from .ops.filters import apply_filters
 from .ops.forces import compute_forces
 from .ops.grenier import grenier_density_sigma
 from .ops.jacobi import jacobi_effpres
-from .ops.forces_pallas import (build_run_table, compute_forces_pallas,
-                                pallas_supported)
+from .ops.forces_pallas import (build_block_plan, compute_forces_pallas,
+                                pallas_supported, plan_dims)
 from .ops.integrate import compute_dt, euler_step
 from .ops.neighbors import CellAux, CellGrid, build_cells
 from .state import ParticleState
@@ -106,12 +106,16 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
 
     grenier = fw.sph_formulation == SPHFormulation.SPH_GRENIER
     granular = fw.visc.rheologytype == RheologyType.GRANULAR
+    sa = fw.sa_boundary
 
     def prep(state, aux):
-        """Pre-forces phases: Grenier COMPUTE_DENSITY and the granular
-        EFFPRES Jacobi solve (PredictorCorrectorIntegrator.cc:1060-1185).
-        Returns the refreshed state (+ Grenier sigma)."""
+        """Pre-forces phases: Grenier COMPUTE_DENSITY, the granular EFFPRES
+        Jacobi solve (PredictorCorrectorIntegrator.cc:1060-1185) and the SA
+        gamma + boundary-condition passes (SA_CALC_*_BOUNDARY_CONDITIONS,
+        PredictorCorrectorIntegrator.cc:121-305).
+        Returns the refreshed state (+ Grenier sigma, + SA gamma)."""
         sigma = None
+        gamma = None
         if grenier:
             # densityGrenierDevice (forces_kernel.cu:286): refresh sigma +
             # smoothed density before every forces pass
@@ -125,23 +129,30 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
             extras = dict(state.extras)
             extras["effpres"] = ep
             state = state.replace(extras=extras, info=info2)
-        return state, sigma
+        if sa:
+            from .ops.sa import compute_gamma, impose_boundary_conditions
+
+            gamma, _ = compute_gamma(fw, grid, state, aux,
+                                     chunk_cells=chunk_cells)
+            state = impose_boundary_conditions(
+                fw, grid, state, aux, gamma, chunk_cells=chunk_cells)
+        return state, sigma, gamma
 
     if use_pallas:
         def forces(state, aux, dt, t, table=None):
-            state, _ = prep(state, aux)
+            state, _, _ = prep(state, aux)
             sps_tau, effvisc = calc_visc(state, aux)
             return compute_forces_pallas(fw, grid, state, aux, dt=dt,
                                          sps_tau=sps_tau, effvisc=effvisc,
                                          table=table), state
     else:
         def forces(state, aux, dt, t, table=None):
-            state, sigma = prep(state, aux)
+            state, sigma, gamma = prep(state, aux)
             sps_tau, effvisc = calc_visc(state, aux)
             return compute_forces(fw, grid, state, aux, dt=dt,
                                   chunk_cells=chunk_cells,
                                   sps_tau=sps_tau, effvisc=effvisc,
-                                  sigma=sigma, t=t), state
+                                  sigma=sigma, t=t, gamma=gamma), state
 
     def gravity_at(t):
         return fw.gcallback(t) if fw.gcallback is not None else fw.pp.gravity
@@ -181,9 +192,10 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
 
     def chunk(state: ParticleState, dt, t, iters, bodies):
         state, aux = build_cells(grid, state)
-        # the Pallas DMA plan only depends on the rebuild: build once per chunk
+        # the Pallas DMA/compute plan only depends on the rebuild: build once
         if use_pallas:
-            table, max_run = build_run_table(fw, grid, aux, sp.max_parts_per_cell)
+            table = build_block_plan(fw, grid, aux, state.capacity)
+            max_run = table.max_run
         else:
             table = jnp.zeros((), jnp.int32)
             max_run = jnp.zeros((), jnp.int32)
@@ -221,6 +233,17 @@ class Simulator:
             self.fw, self.grid, chunk_cells=self.chunk_cells,
             use_pallas=self.use_pallas, bodies_specs=self.bodies_specs,
         )
+        # the Pallas window capacity (RMAX) for the overflow check; 0 when
+        # the XLA path runs (no static window to overflow)
+        if self.use_pallas is None:
+            pallas_on = pallas_supported(self.fw, self.grid) and (
+                jax.default_backend() != "cpu"
+            )
+        else:
+            pallas_on = self.use_pallas
+        self._run_cap = 0
+        if pallas_on:
+            self._run_cap = plan_dims(self.fw, self.grid, 0)["RMAX"]
         self.iterations = 0
         self.t = 0.0
         self.dt = self.fw.sp.dt
@@ -296,11 +319,11 @@ class Simulator:
                 f"max_parts_per_cell={self.fw.sp.max_parts_per_cell}; "
                 "raise SimParams.max_parts_per_cell"
             )
-        run_cap = self.fw.sp.max_run_extent or 3 * self.fw.sp.max_parts_per_cell
-        if int(stats.max_run) > run_cap:
+        if self._run_cap and int(stats.max_run) > self._run_cap:
             raise CellOverflowError(
-                f"candidate-run extent {int(stats.max_run)} exceeds "
-                f"max_run_extent={run_cap}; raise SimParams.max_run_extent"
+                f"candidate-run extent {int(stats.max_run)} exceeds the "
+                f"window capacity {self._run_cap}; raise "
+                "SimParams.max_run_extent or max_parts_per_cell"
             )
         if not (float(stats.dt) > 1e-10):
             raise DtZeroException(f"timestep underflow: dt={float(stats.dt)}")

@@ -19,21 +19,45 @@ from ..state import ParticleState, fluid_num, is_fluid, part_type
 from .vtk import VTKWriter
 
 
-def state_arrays(fw: SimFramework, state: ParticleState) -> Dict[str, np.ndarray]:
-    """Gather the active particles' writable fields on the host."""
+def state_arrays(fw: SimFramework, state: ParticleState,
+                 post: Optional[Dict[str, np.ndarray]] = None) -> Dict[str, np.ndarray]:
+    """Gather the active particles' writable fields on the host.
+
+    ``post`` is the output of the write-out POSTPROCESS pass
+    (:func:`gpusph_tpu.ops.postprocess.make_write_postprocess`); its
+    full-capacity arrays are masked to active rows and merged in (Info is
+    replaced when surface detection refreshed the FG_SURFACE flags, matching
+    the reference's saveParticles POSTPROCESS semantics,
+    `src/GPUSPH.cc:1732`)."""
     act = np.asarray(state.active)
     f_num = fluid_num(state.info)
     press = eos.pressure(fw.pp, state.rho, f_num)
     rho_phys = eos.physical_density(fw.pp, state.rho, f_num)
-    return {
+    info = np.asarray(state.info)
+    vel = np.asarray(state.vel)
+    out = {
         "pos": np.asarray(state.pos)[act],
-        "Velocity": np.asarray(state.vel)[act],
+        "Velocity": vel[act],
         "Pressure": np.asarray(press)[act],
         "Density": np.asarray(rho_phys)[act],
         "Mass": np.asarray(state.mass)[act],
-        "Info": np.asarray(state.info)[act],
+        "Info": info[act],
         "Id": np.asarray(state.id)[act],
     }
+    if post:
+        for k in ("Vorticity", "Normals"):
+            if k in post:
+                out[k] = np.asarray(post[k])[act]
+        if "Info" in post:
+            out["Info"] = np.asarray(post["Info"])[act]
+        if "TestpointVel" in post:
+            # testpoint rows carry the interpolated values in the dump too
+            tp = (np.asarray(state.info)[act] & 7) == 3  # PT_TESTPOINT
+            tvel = np.asarray(post["TestpointVel"])[act]
+            tpress = np.asarray(post["TestpointPress"])[act]
+            out["Velocity"] = np.where(tp[:, None], tvel, out["Velocity"])
+            out["Pressure"] = np.where(tp, tpress, out["Pressure"])
+    return out
 
 
 class TextWriter:
@@ -107,6 +131,28 @@ class CommonWriter:
         self._rb.flush()
         self._objf.flush()
 
+    def write_testpoints(self, time: float, state: ParticleState, post):
+        """Interpolated velocity/pressure at TESTPOINT particles
+        (calcTestpointsVelocityDevice output; reference dumps these rows in
+        the particle files — here also as a testpoints.txt series)."""
+        if not hasattr(self, "_tp"):
+            self._tp = open(os.path.join(self.outdir, "testpoints.txt"), "w")
+            self._tp.write("# time point x y z vx vy vz p\n")
+        info = np.asarray(state.info)
+        act = np.asarray(state.active)
+        tp = act & ((info & 7) == 3)
+        idx = np.nonzero(tp)[0]
+        pos = np.asarray(state.pos)
+        vel = np.asarray(post["TestpointVel"])
+        press = np.asarray(post["TestpointPress"])
+        for k, i in enumerate(idx):
+            self._tp.write(
+                f"{time:.9g} {k} "
+                + " ".join(f"{v:.9g}" for v in (*pos[i], *vel[i], press[i]))
+                + "\n"
+            )
+        self._tp.flush()
+
     def write(self, time: float, state: ParticleState):
         import jax.numpy as jnp
 
@@ -148,7 +194,7 @@ class WriterDispatcher:
 
     def __init__(self, outdir: str, fw: SimFramework, *, vtk_every=0.0,
                  text_every=0.0, hot_every=0.0, keep_hot=3, gages=(),
-                 n_bodies=0):
+                 n_bodies=0, grid=None):
         self.fw = fw
         self.outdir = outdir
         os.makedirs(outdir, exist_ok=True)
@@ -163,20 +209,37 @@ class WriterDispatcher:
         self.hot = HotWriter(outdir, keep=keep_hot) if hot_every > 0 else None
         self.hot_every = hot_every
         self._next_hot = hot_every
+        # write-out POSTPROCESS pass (saveParticles, src/GPUSPH.cc:1732)
+        self._post_fn = None
+        if grid is not None and fw.postprocess:
+            from ..ops.postprocess import make_write_postprocess
+
+            self._post_fn = make_write_postprocess(fw, grid)
 
     def maybe_write(self, time: float, state: ParticleState, *, dt=0.0, iterations=0,
                     force=False, bodies=None):
         arrays = None
+        post = None
+        due = force or any(
+            time + 1e-12 >= next_t[0] for _, _, next_t in self.writers
+        )
+        if due and self._post_fn is not None:
+            post = self._post_fn(state)
+            if "TestpointPress" in post:
+                self.common.write_testpoints(time, state, post)
         for writer, every, next_t in self.writers:
             if force or time + 1e-12 >= next_t[0]:
                 if arrays is None:
-                    arrays = state_arrays(self.fw, state)
+                    arrays = state_arrays(self.fw, state, post)
                 writer.write(time, arrays)
                 next_t[0] = time + every
         self.common.write(time, state)
         self.common.write_bodies(time, bodies)
         if self.hot and (force or time + 1e-12 >= self._next_hot):
-            self.hot.write(state, t=time, dt=dt, iterations=iterations)
+            from ..bodies import bodies_to_dict
+
+            self.hot.write(state, t=time, dt=dt, iterations=iterations,
+                           body_state=bodies_to_dict(bodies))
             self._next_hot = time + self.hot_every
 
 

@@ -17,18 +17,30 @@ import numpy as np
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_ROOT, "native", "src", "gpusph_native.cpp")
 _BUILD_DIR = os.path.join(_ROOT, "native", "build")
-_LIB = os.path.join(_BUILD_DIR, "libgpusph_native.so")
 
 _lock = threading.Lock()
 _lib = None
 _failed = False
 
 
-def _build() -> bool:
+def _src_hash() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+def _lib_path() -> str:
+    # cache keyed on a source-content hash: a fresh checkout (or an edited
+    # source) never loads a stale or ISA-incompatible binary
+    return os.path.join(_BUILD_DIR, f"libgpusph_native-{_src_hash()}.so")
+
+
+def _build(lib_path: str) -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-std=c++17", _SRC, "-o", _LIB,
+        "-std=c++17", _SRC, "-o", lib_path,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -42,8 +54,9 @@ def _load():
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            if not _build():
+        _LIB = _lib_path()
+        if not os.path.exists(_LIB):
+            if not _build(_LIB):
                 _failed = True
                 return None
         try:

@@ -156,6 +156,10 @@ def _pair_fields(fw: SimFramework, state: ParticleState, sps_tau=None,
             sps_tau = jnp.zeros((state.capacity, 6), jnp.float32)
         for c in range(6):
             fields[f"sps_tau{c}"] = sps_tau[:, c]
+    if fw.sa_boundary:
+        from .sa import sa_extra_fields
+
+        fields.update(sa_extra_fields(state))
     return fields
 
 
@@ -171,8 +175,12 @@ def compute_forces(
     effvisc=None,
     sigma=None,
     t=None,
+    gamma=None,
 ) -> ForcesOut:
-    """One forces pass over the (sorted) particle state."""
+    """One forces pass over the (sorted) particle state.
+
+    ``gamma`` is the per-particle wall-renormalization factor for SA
+    boundaries (from :func:`gpusph_tpu.ops.sa.compute_gamma`)."""
     sp, pp = fw.sp, fw.pp
     h = sp.slength
     fields = _pair_fields(fw, state, sps_tau=sps_tau, effvisc=effvisc,
@@ -186,10 +194,12 @@ def compute_forces(
         gx, gy, gz = (jnp.float32(g) for g in pp.gravity)
     eps = pp.epsartvisc
     dyn = fw.boundarytype == BoundaryType.DYN_BOUNDARY
+    sa = fw.sa_boundary
     grenier = fw.sph_formulation == SPHFormulation.SPH_GRENIER
     ha = fw.sph_formulation == SPHFormulation.SPH_HA
     FLUID = ParticleType.FLUID
     BOUND = ParticleType.BOUNDARY
+    VERTEX = ParticleType.VERTEX
 
     def pair_fn(c, n, g):
         f = kernF(fw.kerneltype, g.r, h)  # [C,K,NB]
@@ -210,6 +220,16 @@ def compute_forces(
 
         out = {}
 
+        # SA: vertex particles are mass-carrying volumic neighbors; segment
+        # (PT_BOUNDARY) neighbors contribute only the gamma boundary terms
+        if sa:
+            n_vol = n_fluid | (n["ptype"] == VERTEX)
+            seg_mask = g.mask & c_fluid & n_bound
+            from .sa import _sa_pair_inputs, grad_gamma_wendland
+
+            q, qvb, ns = _sa_pair_inputs(c, n, g, h)
+            ggamAS = jnp.where(seg_mask, grad_gamma_wendland(q, qvb, ns, h), 0.0)
+
         # --- continuity: DrDt = sum m_j (v_ij . r_ij) F_ij ------------------
         # (forces_kernel.def:2139-2155). With DYN boundaries, boundary
         # particles both receive and produce continuity contributions
@@ -217,6 +237,8 @@ def compute_forces(
         # particles take no part in continuity.
         if dyn:
             cont_mask = g.mask & (c_fluid | c_bound) & (n_fluid | n_bound)
+        elif sa:
+            cont_mask = g.mask & c_fluid & n_vol
         else:
             cont_mask = g.mask & c_fluid & n_fluid
         if grenier:
@@ -235,13 +257,25 @@ def compute_forces(
                 DrDt_term = DrDt_term * rho_c / rho_n
         DrDt = jnp.where(cont_mask, DrDt_term, 0.0)
 
+        if sa:
+            # SA boundary continuity term (forces_kernel.def:2078-2091):
+            # DrDt -= rho_a (v_as . n_s) ||grad gamma_as||
+            DrDt = DrDt - jnp.where(
+                seg_mask,
+                rho_c * (relvx * ns[0] + relvy * ns[1] + relvz * ns[2]) * ggamAS,
+                0.0,
+            )
+
         DrDt = DrDt + _density_diffusion(
             fw, c, n, g, f, g.mask & c_fluid & n_fluid, dt, (gx, gy, gz)
         )
         out["DrDt"] = DrDt
 
         # --- momentum: pressure gradient -----------------------------------
-        mom_mask = g.mask & c_fluid & (n_fluid | n_bound if dyn else n_fluid)
+        if sa:
+            mom_mask = g.mask & c_fluid & n_vol
+        else:
+            mom_mask = g.mask & c_fluid & (n_fluid | n_bound if dyn else n_fluid)
         if fw.has_moving_bodies:
             # body force feedback: boundary centrals accumulate the
             # hydrodynamic terms from fluid neighbors (rbforces path,
@@ -380,6 +414,14 @@ def compute_forces(
         out["DvDt_y"] = s * g.rely + (sv * relvy if sv is not None else 0.0)
         out["DvDt_z"] = s * g.relz + (sv * relvz if sv is not None else 0.0)
 
+        if sa:
+            # SA boundary pressure term (forces_kernel.def:2416-2430):
+            # DvDt += pGradTerm rho_s ||grad gamma_as|| n_s
+            sseg = jnp.where(seg_mask, pgrad * rho_n * ggamAS, 0.0)
+            out["DvDt_x"] = out["DvDt_x"] + sseg * ns[0]
+            out["DvDt_y"] = out["DvDt_y"] + sseg * ns[1]
+            out["DvDt_z"] = out["DvDt_z"] + sseg * ns[2]
+
         if fw.flags & SimFlags.ENABLE_INTERNAL_ENERGY:
             # dU/dt -= (a_pair . v_ij)/2 (forces_kernel.def:3306-3316)
             dedt = s * vel_dot_pos
@@ -391,11 +433,12 @@ def compute_forces(
             out["DvDt_y"] = out["DvDt_y"] + out.pop("DvDt_y_extra")
             out["DvDt_z"] = out["DvDt_z"] + out.pop("DvDt_z_extra")
 
-        # --- XSPH mean velocity (forces_kernel.def:2986-2994) ---------------
+        # --- XSPH mean velocity (forces_kernel.def:2986-2994; the written
+        # value carries a factor 2, write_xsph forces_kernel.def:3368) -------
         if fw.has_xsph:
             w = kernW(fw.kerneltype, g.r, h)
             xw = jnp.where(
-                g.mask & c_fluid & n_fluid, -m_n * w / (rho_c + rho_n), 0.0
+                g.mask & c_fluid & n_fluid, -2.0 * m_n * w / (rho_c + rho_n), 0.0
             )
             out["xsph_x"] = xw * relvx
             out["xsph_y"] = xw * relvy
@@ -422,6 +465,14 @@ def compute_forces(
         # Grenier fixup: pair-sum force /= rho, DJ/Dt /= sigma
         # (forces_kernel.def:3183-3190), applied before gravity
         DvDt = DvDt / fields["rho"][:, None]
+    if sa:
+        # SA fixup: pair sums divided by gamma before gravity
+        # (forces_fixup, forces_kernel.def:3225-3240)
+        if gamma is None:
+            gamma = jnp.ones((state.capacity,), jnp.float32)
+        gdiv = jnp.where(is_fluid_c, gamma, 1.0)
+        DvDt = DvDt / gdiv[:, None]
+        sums["DrDt"] = sums["DrDt"] / gdiv
     DvDt = DvDt + jnp.where(
         is_fluid_c[:, None],
         jnp.stack([gx, gy, gz])[None, :],

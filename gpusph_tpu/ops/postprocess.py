@@ -179,4 +179,55 @@ def surface_detection(fw: SimFramework, grid: CellGrid, state: ParticleState,
     return info, normal_hat
 
 
-__all__ = ["vorticity", "testpoint_values", "surface_detection"]
+def make_write_postprocess(fw: SimFramework, grid: CellGrid, *,
+                           chunk_cells: int = 256):
+    """Jitted POSTPROCESS pass for write-out (the reference runs the enabled
+    post-process engines inside ``saveParticles``, `src/GPUSPH.cc:1732`).
+
+    Returns ``run(state) -> dict`` of per-particle arrays aligned with the
+    *input* particle order (the writer's order), or ``None`` when the
+    framework enables no post-processing.  Keys: ``Vorticity`` [N,3],
+    ``TestpointVel`` [N,3] / ``TestpointPress`` [N] (testpoint rows only),
+    ``Info`` (with FG_SURFACE refreshed) and ``Normals`` [N,3].
+    """
+    from ..defs import PostProcessType
+    from ..state import is_active
+    from .neighbors import build_cells, cell_hash
+
+    pps = tuple(fw.postprocess)
+    if not pps:
+        return None
+
+    @jax.jit
+    def run(state: ParticleState):
+        # local sort (the write-out state has evolved since the last rebuild)
+        active = is_active(state.info)
+        h = cell_hash(grid, state.pos, active)
+        order = jnp.argsort(h, stable=True)
+        inv = jnp.argsort(order)
+        sstate, aux = build_cells(grid, state)
+        out = {}
+        if PostProcessType.VORTICITY in pps:
+            w = vorticity(fw, grid, sstate, aux, chunk_cells=chunk_cells)
+            out["Vorticity"] = w[inv]
+        if PostProcessType.TESTPOINTS in pps:
+            vel, press = testpoint_values(
+                fw, grid, sstate, aux, chunk_cells=chunk_cells)
+            out["TestpointVel"] = vel[inv]
+            out["TestpointPress"] = press[inv]
+        if PostProcessType.SURFACE_DETECTION in pps:
+            info, normals = surface_detection(
+                fw, grid, sstate, aux, chunk_cells=chunk_cells)
+            out["Info"] = info[inv]
+            out["Normals"] = normals[inv]
+        return out
+
+    return run
+
+
+__all__ = [
+    "vorticity",
+    "testpoint_values",
+    "surface_detection",
+    "make_write_postprocess",
+]

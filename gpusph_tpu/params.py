@@ -159,11 +159,16 @@ class SimParams:
     # stacked dynamic-boundary layers can reach the high 30s.  Keeping
     # 3*K <= 128 lets the Pallas forces kernel use single-tile candidate runs.
     max_parts_per_cell: int = 40
-    # Max particles in any 3 consecutive fast-axis cells (the Pallas kernel's
-    # candidate-run extent).  0 -> worst case 3*max_parts_per_cell.  Problems
-    # auto-size this from the initial occupancy; exceeded at runtime -> abort
-    # (CHECK_NEIBSNUM analogue).
+    # Max particles in any SPAN+2 consecutive fast-axis cells (the Pallas
+    # kernel's candidate-run extent).  0 -> worst case (SPAN+2) *
+    # max_parts_per_cell.  Problems auto-size this from the initial
+    # occupancy; exceeded at runtime -> abort (CHECK_NEIBSNUM analogue).
     max_run_extent: int = 0
+    # evaluate the Pallas pair-physics coefficient chain in bfloat16
+    # (relative positions, r2 and the output accumulations stay f32).
+    # ~2x VPU throughput on the forces pass at ~0.4% relative force error —
+    # appropriate for production throughput runs, off for validation.
+    pairs_bf16: bool = False
 
     # periodicity
     periodicbound: Periodicity = Periodicity.NONE

@@ -113,6 +113,7 @@ class Problem:
         self._moving_body_count = 0
         self.vtk_write_every = 0.0
         self.body_motion: Dict[int, Callable] = {}  # object_idx -> motion cb
+        self.sa_meshes: List[dict] = []  # SA boundary meshes (sa_mesh dicts)
 
     def __init_subclass__(cls, **kw):
         super().__init_subclass__(**kw)
@@ -288,8 +289,26 @@ class Problem:
     def add_plane(self, point, normal):
         self.planes.append(Plane(tuple(point), tuple(normal)))
 
+    def add_sa_box(self, origin, size, *, faces="all"):
+        """SA boundary box: vertex particles + triangular boundary elements
+        (the procedural equivalent of the reference's Crixus HDF5 input,
+        `ProblemAPI_1.cc:1998-2014`).  Requires BoundaryType.SA_BOUNDARY."""
+        from ..geometry.sa_mesh import box_sa_mesh
+
+        mesh = box_sa_mesh(origin, size, self.deltap, faces=faces)
+        self.sa_meshes.append(mesh)
+        return len(self.sa_meshes) - 1
+
     def add_testpoint(self, p):
         self.testpoints.append(tuple(p))
+
+    def add_postprocess(self, pp):
+        """Enable a post-process engine (reference ``addPostProcess``,
+        `src/ProblemCore.h`)."""
+        if pp not in self.fw.postprocess:
+            self.fw = dataclasses.replace(
+                self.fw, postprocess=self.fw.postprocess + (pp,)
+            )
 
     def rotate(self, geom_id: int, rx: float, ry: float, rz: float, center=None):
         """Rotate a geometry (only z-rotation supported for now, like the
@@ -386,6 +405,17 @@ class Problem:
                 flags=self.fw.flags | SimFlags.ENABLE_PLANES,
                 planes=tuple((p.point, p.normal) for p in self.planes),
             )
+        if self.testpoints:
+            # declaring test points implies the TESTPOINTS post-process pass
+            # (reference addPostProcess(TESTPOINTS), e.g. DamBreak3D.cu:63)
+            from ..defs import PostProcessType
+
+            if PostProcessType.TESTPOINTS not in self.fw.postprocess:
+                self.fw = dataclasses.replace(
+                    self.fw,
+                    postprocess=self.fw.postprocess
+                    + (PostProcessType.TESTPOINTS,),
+                )
         # generic override of the cell capacity (the CHECK_NEIBSNUM analogue
         # of the reference's resize_neiblist), e.g. --max_ppc 64
         max_ppc = self.get_option("max_ppc", 0)
@@ -407,6 +437,10 @@ class Problem:
                 occ *= cs_ / self.deltap
             occ0 = 0
             pts = [g.points for g in self.geometries if len(g.points)]
+            # SA meshes contribute vertex + segment particles to the cells
+            for mesh in self.sa_meshes:
+                pts.append(mesh["verts"])
+                pts.append(mesh["seg_pos"])
             if pts:
                 allp = np.concatenate(pts)
                 ijk = np.clip(
@@ -421,18 +455,28 @@ class Problem:
                 lin = (ijk[:, a2] * n1 + ijk[:, a1]) * n0 + ijk[:, a0]
                 counts = np.bincount(lin, minlength=probe.n_cells)
                 occ0 = int(counts.max())
-                # max particles over 3 consecutive fast-axis cells (the
+                # max particles over SPAN+2 consecutive fast-axis cells (the
                 # Pallas candidate-run extent; walls are static so a modest
                 # margin suffices)
+                from ..ops.forces_pallas import SPAN
+
                 cgrid = counts.reshape(
                     probe.ncells[a2], probe.ncells[a1], probe.ncells[a0]
                 )
-                run3 = cgrid.copy()
-                run3[:, :, :-1] += cgrid[:, :, 1:]
-                run3[:, :, :-2] += cgrid[:, :, 2:]
-                run_extent = int(-(-int(run3.max() * 1.15 + 12) // 8) * 8)
+                csum = np.zeros(
+                    (cgrid.shape[0], cgrid.shape[1], cgrid.shape[2] + 1),
+                    np.int64,
+                )
+                np.cumsum(cgrid, axis=2, out=csum[:, :, 1:])
+                wlen = min(SPAN + 2, cgrid.shape[2])
+                runw = csum[:, :, wlen:] - csum[:, :, :-wlen]
+                runmax = int(runw.max()) if runw.size else int(cgrid.sum())
+                run_extent = int(-(-int(runmax * 1.15 + 16) // 8) * 8)
                 self._update_sp(max_run_extent=run_extent)
-            k_auto = max(int(occ * 1.7 + 8), int(occ0 * 1.15 + 8))
+            # SA walls pack segments + vertices between the fluid layers and
+            # the fluid settles toward them: wider transient margin
+            m0 = 1.4 if self.sa_meshes else 1.15
+            k_auto = max(int(occ * 1.7 + 8), int(occ0 * m0 + 8))
             k_auto = -(-k_auto // 8) * 8
             if k_auto > self.fw.sp.max_parts_per_cell:
                 self._update_sp(max_parts_per_cell=k_auto)
@@ -536,9 +580,49 @@ class Problem:
             )
             n_total += 1
 
+        # SA boundary meshes: vertex particles + segment (boundary-element)
+        # particles with their normals / vertex offsets recorded for extras
+        sa_rows = []  # (start, normals, vr or None)
+        rho0_0 = self.fw.pp.fluids[0].rho0
+        for mesh in self.sa_meshes:
+            nv = len(mesh["verts"])
+            pos_list.append(mesh["verts"])
+            vel_list.append(np.zeros((nv, 3)))
+            rho_list.append(np.zeros(nv))
+            # Crixus-style vertex mass: rho0 * dp * owned wall area
+            mass_list.append(rho0_0 * dp * mesh["vert_area"])
+            info_list.append(
+                np.full(nv, np.uint32(int(ParticleType.VERTEX)), np.uint32)
+            )
+            sa_rows.append((n_total, mesh["vert_normal"], None))
+            n_total += nv
+
+            ns = len(mesh["seg_pos"])
+            pos_list.append(mesh["seg_pos"])
+            vel_list.append(np.zeros((ns, 3)))
+            rho_list.append(np.zeros(ns))
+            mass_list.append(np.zeros(ns))
+            info_list.append(
+                np.full(ns, np.uint32(int(ParticleType.BOUNDARY)), np.uint32)
+            )
+            sa_rows.append((n_total, mesh["seg_normal"], mesh["seg_verts"]))
+            n_total += ns
+
         if capacity is None:
             capacity = n_total
         extras = {}
+        if self.sa_meshes:
+            belem = np.zeros((capacity, 3), np.float32)
+            vrs = [np.zeros((capacity, 3), np.float32) for _ in range(3)]
+            for (start, normals, vr) in sa_rows:
+                m = len(normals)
+                belem[start:start + m] = normals
+                if vr is not None:
+                    for i in range(3):
+                        vrs[i][start:start + m] = vr[:, i]
+            extras["belem"] = jnp.asarray(belem)
+            for i in range(3):
+                extras[f"vr{i}"] = jnp.asarray(vrs[i])
         if self.fw.flags & _SimFlags.ENABLE_INTERNAL_ENERGY:
             extras["energy"] = jnp.zeros((capacity,), jnp.float32)
         from ..defs import RheologyType as _Rheo
@@ -588,7 +672,13 @@ def get_problem(name: str) -> type:
     # make sure the catalog is imported
     from . import catalog, generic  # noqa: F401
 
-    return PROBLEM_REGISTRY[name]
+    try:
+        return PROBLEM_REGISTRY[name]
+    except KeyError:
+        raise SystemExit(
+            f"unknown problem '{name}'; available: "
+            + ", ".join(sorted(PROBLEM_REGISTRY))
+        ) from None
 
 
 __all__ = [

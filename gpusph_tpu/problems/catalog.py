@@ -1144,3 +1144,52 @@ class Seiche(Problem):
         self.add_box(GeometryType.FLUID, FillType.SOLID,
                      (wd, wd, wd), l - 2 * wd, w - 2 * wd, H - 2 * wd)
         self.set_water_level(H)
+
+
+class StillWaterSA(Problem):
+    """Hydrostatic box with semi-analytical boundaries (reference
+    `src/problems/StillWater.cu` with `boundary<SA_BOUNDARY>`, geometry from
+    the Crixus HDF5 input — generated procedurally here).
+
+    The steady-state pressure profile must match the hydrostatic solution
+    within 1% (the reference's hydrostatic-basin validation,
+    `gpusph-valid.tex:233`).
+    """
+
+    name = "StillWaterSA"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        H = self.get_option("water_height", 0.5)
+        l = self.get_option("side", 0.5)
+        ppH = self.get_option("ppH", 24)
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.SA_BOUNDARY,
+            rheology=RheologyType.INVISCID,
+            turbulence_model=TurbulenceModel.ARTIFICIAL,
+            density_diffusion=DensityDiffusionType(
+                self.get_option(
+                    "density-diffusion", int(DensityDiffusionType.COLAGROSSI)
+                )
+            ),
+            simparams=SimParams(densityDiffCoeff=0.1),
+        )
+        self.set_deltap(H / ppH)
+        dp = self.deltap
+        self.set_gravity(-9.81)
+        self.set_max_fall(H)
+        fl = self.add_fluid(1000.0)
+        self.set_equation_of_state(fl, 7.0, 10 * math.sqrt(9.81 * H))
+        self.set_tend(self.get_option("tend", 5.0))
+        self.add_writer(freq=0.5)
+
+        h_box = H + 6 * dp
+        self.make_universe_box((-2 * dp, -2 * dp, -2 * dp),
+                               (l + 4 * dp, l + 4 * dp, h_box + 4 * dp))
+        self.add_sa_box((0.0, 0.0, 0.0), (l, l, h_box), faces="all")
+        wd = dp
+        self.add_box(GeometryType.FLUID, FillType.SOLID,
+                     (wd, wd, wd), l - 2 * wd, l - 2 * wd, H - wd)
+        self.set_water_level(H)

@@ -69,12 +69,11 @@ def repack_forces(fw: SimFramework, grid: CellGrid, state: ParticleState, aux):
 
 
 def make_repack_chunk(fw: SimFramework, grid: CellGrid, nsteps: int = 10):
+    """Jitted repack chunk: one neighbor rebuild + ``nsteps`` pseudo-dynamic
+    steps.  Returns ``(state, ekin)`` with the fluid kinetic energy after the
+    chunk (feeds the host-side stall criterion)."""
     c0max = max(f.c0 for f in fw.pp.fluids)
     dt = 0.1 * fw.sp.slength / c0max
-
-    def step(state, _):
-        _, aux = None, None
-        return state, None
 
     def chunk(state: ParticleState):
         state, aux = build_cells(grid, state)
@@ -87,22 +86,68 @@ def make_repack_chunk(fw: SimFramework, grid: CellGrid, nsteps: int = 10):
             return st.replace(pos=pos, vel=vel), None
 
         state, _ = jax.lax.scan(body, state, None, length=nsteps)
-        return state
+        ekin = 0.5 * jnp.sum(
+            state.mass * jnp.sum(state.vel * state.vel, axis=1)
+        )
+        return state, ekin
 
     return jax.jit(chunk, donate_argnums=(0,))
 
 
-def run_repacking(sim, state: ParticleState) -> ParticleState:
-    """Run the repacking loop then zero velocities (FINISH_REPACKING)."""
+def finish_repacking(state: ParticleState) -> ParticleState:
+    """FINISH_REPACKING: deactivate free-surface *boundary* particles
+    (DISABLE_FREE_SURF_PARTS — `disableFreeSurfPartsDevice`,
+    `src/cuda/euler_kernel.cu:163`: SURFACE(info) && NOT_FLUID) and zero
+    velocities (END_OF_REPACKING)."""
+    from .state import FG_INACTIVE, FG_SURFACE, has_flag
+
+    kill = has_flag(state.info, FG_SURFACE) & (
+        part_type(state.info) != ParticleType.FLUID
+    )
+    info = jnp.where(kill, state.info | jnp.uint32(FG_INACTIVE), state.info)
+    return state.replace(info=info, vel=jnp.zeros_like(state.vel))
+
+
+def run_repacking(sim, state: ParticleState, *, outdir=None,
+                  stall_rel: float = 1e-3) -> ParticleState:
+    """Run the repacking loop until kinetic energy stalls (relative change
+    of the chunk kinetic energy below ``stall_rel``, after the initial
+    transient) or ``repack_maxiter`` iterations, then finalize.
+
+    When ``outdir`` is given, the repacked state is dumped as a hotfile
+    (``repack.npz``) so the simulation proper can resume from it, matching
+    the reference's end-of-repacking hot write
+    (`RepackingIntegrator.cc`, `src/GPUSPH.cc:280-292`).
+    """
     fw, grid = sim.fw, sim.grid
     nsteps = 10
     chunk = make_repack_chunk(fw, grid, nsteps)
     iters = 0
+    prev_ekin = None
+    peak_ekin = 0.0
     while iters < fw.sp.repack_maxiter:
-        state = chunk(state)
+        state, ekin = chunk(state)
+        ekin = float(ekin)
         iters += nsteps
-    # END_OF_REPACKING: zero velocities, keep positions
-    return state.replace(vel=jnp.zeros_like(state.vel))
+        peak_ekin = max(peak_ekin, ekin)
+        if prev_ekin is not None and peak_ekin > 0:
+            # stall: past the initial energy ramp and the chunk-to-chunk
+            # change is a negligible fraction of the peak
+            if ekin < peak_ekin and abs(ekin - prev_ekin) < stall_rel * peak_ekin:
+                break
+        prev_ekin = ekin
+    state = finish_repacking(state)
+    if outdir is not None:
+        import os
+
+        from .io.hotfile import save_hotfile
+
+        save_hotfile(
+            os.path.join(outdir, "repack.npz"), state,
+            t=0.0, dt=0.0, iterations=0,
+        )
+    return state
 
 
-__all__ = ["run_repacking", "repack_forces", "make_repack_chunk"]
+__all__ = ["run_repacking", "repack_forces", "make_repack_chunk",
+           "finish_repacking"]
