@@ -73,8 +73,9 @@ def box_sa_mesh(
     all_pts = []
     all_tris = []  # (i0, i1, i2) into the concatenated point list
     tri_normals = []
+    tri_face = []  # face id per triangle
     base = 0
-    for (corner, du, dv, nrm, nu, nv) in face_defs:
+    for fid, (corner, du, dv, nrm, nu, nv) in enumerate(face_defs):
         pts, shape = _face_grid(corner, du, dv, nu, nv)
         all_pts.append(pts)
         nu1 = int(nv + 1)  # v-fastest index stride
@@ -89,6 +90,7 @@ def box_sa_mesh(
                 for tri in ((quad[0], quad[1], quad[2]), (quad[0], quad[2], quad[3])):
                     all_tris.append(tri)
                     tri_normals.append(nrm)
+                    tri_face.append(fid)
         base += len(pts)
 
     pts = np.concatenate(all_pts)
@@ -113,20 +115,32 @@ def box_sa_mesh(
     seg_pos = (v0 + v1 + v2) / 3.0
     seg_verts = np.stack([v0 - seg_pos, v1 - seg_pos, v2 - seg_pos], axis=1)
 
-    # vertex owned area + averaged normals
+    # vertex owned area + averaged normals + fluid-side Voronoi volume
     NV = len(verts)
     vert_area = np.zeros(NV)
     vert_normal = np.zeros((NV, 3))
+    nfaces = np.zeros(NV, np.int64)
+    tf = np.asarray(tri_face)
+    for fid in range(len(face_defs)):
+        used = np.zeros(NV, bool)
+        used[tris[tf == fid].ravel()] = True
+        nfaces += used
     for k in range(3):
         np.add.at(vert_area, tris[:, k], area / 3.0)
         np.add.at(vert_normal, tris[:, k], tri_n)
     nn = np.linalg.norm(vert_normal, axis=1, keepdims=True)
     vert_normal = vert_normal / np.maximum(nn, 1e-12)
+    # the vertex represents its near-wall Voronoi cell clipped to the fluid
+    # side (Crixus semantics): dp^3/2 at a flat face, /4 at edges, /8 at
+    # corners of a convex box
+    dpm = float(np.mean(d))
+    vert_volume = dpm**3 / (2.0 ** np.clip(nfaces, 1, 3))
 
     return dict(
         verts=verts,
         vert_normal=vert_normal,
         vert_area=vert_area,
+        vert_volume=vert_volume,
         seg_pos=seg_pos,
         seg_normal=tri_n,
         seg_verts=seg_verts,
@@ -135,4 +149,92 @@ def box_sa_mesh(
     )
 
 
-__all__ = ["box_sa_mesh"]
+def plate_sa_mesh(
+    origin: Tuple[float, float, float],
+    u_vec: Tuple[float, float, float],
+    v_vec: Tuple[float, float, float],
+    normal: Tuple[float, float, float],
+    dp: float,
+    *,
+    periodic_u: bool = False,
+    periodic_v: bool = False,
+) -> Dict[str, np.ndarray]:
+    """SA mesh of a single rectangular wall plate spanned by u_vec x v_vec
+    with inward unit normal ``normal``; periodic edges share the seam
+    vertices (for periodic channels like TurbulentPoiseuilleFlowSA)."""
+    o = np.asarray(origin, np.float64)
+    u = np.asarray(u_vec, np.float64)
+    v = np.asarray(v_vec, np.float64)
+    nrm = np.asarray(normal, np.float64)
+    nrm = nrm / np.linalg.norm(nrm)
+    nu = max(int(round(np.linalg.norm(u) / dp)), 1)
+    nv = max(int(round(np.linalg.norm(v) / dp)), 1)
+    du = u / nu
+    dv = v / nv
+
+    nu_pts = nu if periodic_u else nu + 1
+    nv_pts = nv if periodic_v else nv + 1
+    pts = np.zeros((nu_pts, nv_pts, 3))
+    for i in range(nu_pts):
+        for j in range(nv_pts):
+            pts[i, j] = o + i * du + j * dv
+    verts = pts.reshape(-1, 3)
+
+    def vid(i, j):
+        return (i % nu_pts if periodic_u else i) * nv_pts + (
+            j % nv_pts if periodic_v else j
+        )
+
+    tris = []
+    for i in range(nu):
+        for j in range(nv):
+            q = [vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)]
+            tris.append((q[0], q[1], q[2]))
+            tris.append((q[0], q[2], q[3]))
+    tris = np.asarray(tris, np.int64)
+
+    # CCW about the inward normal; seg geometry built from UNWRAPPED corner
+    # positions so vertex rel-positions stay local across periodic seams
+    def corner(i, j):
+        return o + i * du + j * dv
+
+    v0s, v1s, v2s = [], [], []
+    t = 0
+    for i in range(nu):
+        for j in range(nv):
+            cs = [corner(i, j), corner(i + 1, j), corner(i + 1, j + 1), corner(i, j + 1)]
+            for tri_c in ((cs[0], cs[1], cs[2]), (cs[0], cs[2], cs[3])):
+                a, b, c = tri_c
+                if np.dot(np.cross(b - a, c - a), nrm) < 0:
+                    b, c = c, b
+                    tris[t] = tris[t][[0, 2, 1]]
+                v0s.append(a); v1s.append(b); v2s.append(c)
+                t += 1
+    v0 = np.asarray(v0s); v1 = np.asarray(v1s); v2 = np.asarray(v2s)
+    crossp = np.cross(v1 - v0, v2 - v0)
+    area = 0.5 * np.linalg.norm(crossp, axis=1)
+    seg_pos = (v0 + v1 + v2) / 3.0
+    seg_verts = np.stack([v0 - seg_pos, v1 - seg_pos, v2 - seg_pos], axis=1)
+
+    NV = len(verts)
+    vert_area = np.zeros(NV)
+    vert_normal = np.tile(nrm, (NV, 1))
+    for k in range(3):
+        np.add.at(vert_area, tris[:, k], area / 3.0)
+    # flat plate: each vertex owns the near-wall half cell
+    vert_volume = vert_area * dp * 0.5
+
+    return dict(
+        verts=verts,
+        vert_normal=vert_normal,
+        vert_area=vert_area,
+        vert_volume=vert_volume,
+        seg_pos=seg_pos,
+        seg_normal=np.tile(nrm, (len(tris), 1)),
+        seg_verts=seg_verts,
+        seg_area=area,
+        seg_vidx=tris,
+    )
+
+
+__all__ = ["box_sa_mesh", "plate_sa_mesh"]

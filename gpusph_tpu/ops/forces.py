@@ -68,6 +68,9 @@ class ForcesOut(struct.PyTreeNode):
     max_accel: jax.Array  # f32[] max |a| over fluid particles (CFL force term)
     max_sspeed: jax.Array  # f32[] max local sound speed (CFL sound term)
     max_kinvisc: jax.Array  # f32[] max kinematic viscosity (CFL visc term)
+    # k-epsilon: (Dk, De, Ce2_yap) per particle for the implicit euler
+    # update (BUFFER_DKDE; zeros-shaped scalar when the model is off)
+    dkde: jax.Array = struct.field(default_factory=lambda: jnp.zeros(()))
 
 
 def _powf(x, e: float):
@@ -143,6 +146,19 @@ def _pair_fields(fw: SimFramework, state: ParticleState, sps_tau=None,
         if effvisc is not None:
             # shear-dependent rheologies: effective *kinematic* viscosity
             visccoeff = effvisc
+        if fw.visc.turbmodel == TurbulenceModel.KEPSILON:
+            # k-epsilon: the Morris term runs on the effective viscosity
+            # nu + nu_t (get_visc_coeff, forces_kernel.def:2806-2822); the
+            # k/e diffusion precalcs use rho*(nu + nu_t) and
+            # rho*(nu + nu_t/sigma_eps) (compute_keps_term, :2925-2935)
+            nut = state.extras["turbvisc"]
+            fields["tke"] = state.extras["tke"]
+            fields["eps"] = state.extras["eps"]
+            fields["turbvisc"] = nut
+            fields["lam_visc"] = visccoeff
+            fields["dkdt_pre"] = rho_phys * (visccoeff + nut)
+            fields["dedt_pre"] = rho_phys * (visccoeff + nut / 1.3)
+            visccoeff = visccoeff + nut
         fields["dyn_visc"] = visccoeff * rho_phys
         fields["kinvisc"] = visccoeff
         if fw.visc.viscmodel == ViscousModel.ESPANOL_REVENGA:
@@ -195,6 +211,7 @@ def compute_forces(
     eps = pp.epsartvisc
     dyn = fw.boundarytype == BoundaryType.DYN_BOUNDARY
     sa = fw.sa_boundary
+    keps = fw.visc.turbmodel == TurbulenceModel.KEPSILON
     grenier = fw.sph_formulation == SPHFormulation.SPH_GRENIER
     ha = fw.sph_formulation == SPHFormulation.SPH_HA
     FLUID = ParticleType.FLUID
@@ -221,8 +238,14 @@ def compute_forces(
         out = {}
 
         # SA: vertex particles are mass-carrying volumic neighbors; segment
-        # (PT_BOUNDARY) neighbors contribute only the gamma boundary terms
+        # (PT_BOUNDARY) neighbors contribute only the gamma boundary terms.
+        # The pair mask radius is expanded by dp/2 for the segments
+        # (boundNlSqInflRad); volumic kernel terms must still cut at the
+        # true influence radius (W/F polynomials are not masked beyond 2h,
+        # ops/kernels.py)
         if sa:
+            in_kernel = g.r2 < jnp.float32(sp.influenceradius**2)
+            gmask = g.mask & in_kernel
             n_vol = n_fluid | (n["ptype"] == VERTEX)
             seg_mask = g.mask & c_fluid & n_bound
             from .sa import _sa_pair_inputs, grad_gamma_wendland
@@ -238,7 +261,7 @@ def compute_forces(
         if dyn:
             cont_mask = g.mask & (c_fluid | c_bound) & (n_fluid | n_bound)
         elif sa:
-            cont_mask = g.mask & c_fluid & n_vol
+            cont_mask = gmask & c_fluid & n_vol
         else:
             cont_mask = g.mask & c_fluid & n_fluid
         if grenier:
@@ -267,13 +290,14 @@ def compute_forces(
             )
 
         DrDt = DrDt + _density_diffusion(
-            fw, c, n, g, f, g.mask & c_fluid & n_fluid, dt, (gx, gy, gz)
+            fw, c, n, g, f,
+            (gmask if sa else g.mask) & c_fluid & n_fluid, dt, (gx, gy, gz)
         )
         out["DrDt"] = DrDt
 
         # --- momentum: pressure gradient -----------------------------------
         if sa:
-            mom_mask = g.mask & c_fluid & n_vol
+            mom_mask = gmask & c_fluid & n_vol
         else:
             mom_mask = g.mask & c_fluid & (n_fluid | n_bound if dyn else n_fluid)
         if fw.has_moving_bodies:
@@ -422,6 +446,84 @@ def compute_forces(
             out["DvDt_y"] = out["DvDt_y"] + sseg * ns[1]
             out["DvDt_z"] = out["DvDt_z"] + sseg * ns[2]
 
+        if keps:
+            # --- k-epsilon (SA only; forces_kernel.def:2800-2985) ----------
+            vol_k = gmask & c_fluid & n_vol
+            k_c, k_n = c["tke"], n["tke"]
+            e_c, e_n = c["eps"], n["eps"]
+            # k/e diffusion, volumic (Morris-style, :2925-2935)
+            coef_k = m_n * (
+                c["dkdt_pre"] + rho_n * (n["lam_visc"] + n["turbvisc"])
+            ) * f / rho_n
+            coef_e = m_n * (
+                c["dedt_pre"] + rho_n * (n["lam_visc"] + n["turbvisc"] / 1.3)
+            ) * f / rho_n
+            out["dk"] = jnp.where(vol_k, coef_k * (k_c - k_n), 0.0)
+            de = jnp.where(vol_k, coef_e * (e_c - e_n), 0.0)
+            # normal distance to the segment, floored at deltap (r_as,
+            # forces_kernel.def:1148)
+            r_as = jnp.maximum(
+                jnp.abs(g.relx * ns[0] + g.rely * ns[1] + g.relz * ns[2]),
+                sp.deltap,
+            )
+            # boundary epsilon diffusion: 4 C_mu/sigma_e k^2/r_as |ggam|
+            de = de + jnp.where(
+                seg_mask, 0.276923077 * k_c * k_c / r_as * ggamAS, 0.0
+            )
+            out["de"] = de
+            # Yap correction: ce2 reduced near walls (:2961-2966)
+            lyap = 0.400772603 * k_c * jnp.sqrt(jnp.maximum(k_c, 0.0)) / (
+                jnp.maximum(e_c, 1e-10) * r_as
+            )
+            ce2cand = jnp.where(
+                lyap > 1.0,
+                jnp.maximum(1.92 - 0.83 * (lyap - 1.0) * lyap * lyap, 0.0),
+                1.92,
+            )
+            out["min_ce2"] = jnp.where(seg_mask, ce2cand, jnp.inf)
+            # strain-rate tensor accumulation (add_strain_rate, :926-940):
+            # volumic mul = -m_b rel F; boundary mul = |ggam| n rho_s
+            mulx = jnp.where(vol_k, -m_n * g.relx * f, 0.0) + jnp.where(
+                seg_mask, ggamAS * ns[0] * rho_n, 0.0)
+            muly = jnp.where(vol_k, -m_n * g.rely * f, 0.0) + jnp.where(
+                seg_mask, ggamAS * ns[1] * rho_n, 0.0)
+            mulz = jnp.where(vol_k, -m_n * g.relz * f, 0.0) + jnp.where(
+                seg_mask, ggamAS * ns[2] * rho_n, 0.0)
+            out["t_xx"] = relvx * mulx
+            out["t_xy"] = relvx * muly + relvy * mulx
+            out["t_xz"] = relvx * mulz + relvz * mulx
+            out["t_yy"] = relvy * muly
+            out["t_yz"] = relvy * mulz + relvz * muly
+            out["t_zz"] = relvz * mulz
+            # wall-function friction (log-law, :2824-2874): iterative u*
+            ut_x = relvx - (relvx * ns[0] + relvy * ns[1] + relvz * ns[2]) * ns[0]
+            ut_y = relvy - (relvx * ns[0] + relvy * ns[1] + relvz * ns[2]) * ns[1]
+            ut_z = relvz - (relvx * ns[0] + relvy * ns[1] + relvz * ns[2]) * ns[2]
+            abs_ut = jnp.sqrt(ut_x * ut_x + ut_y * ut_y + ut_z * ut_z)
+            nu_lam = c["lam_visc"]
+            uk = 0.547722558 * jnp.sqrt(jnp.maximum(k_c, 0.0))
+            y_plus0 = r_as / jnp.maximum(nu_lam, 1e-12) * uk
+            # viscous sublayer value
+            u_star_visc = abs_ut / jnp.maximum(y_plus0, 1e-12)
+            # log-law fixed point (10 iterations like the reference)
+            utau = 0.118599857 * n["lam_visc"] / r_as
+            for _ in range(10):
+                y_plus = jnp.maximum(
+                    r_as * utau / jnp.maximum(n["lam_visc"], 1e-12), 2.43902439
+                )
+                utau = (0.41 * abs_ut + utau) / (jnp.log(y_plus) + 3.132)
+            u_star_log = abs_ut / (jnp.log(y_plus) / 0.41 + 5.2)
+            u_star = jnp.where(y_plus0 < 2.43902439, u_star_visc, u_star_log)
+            wf_mask = seg_mask & (k_c >= 1e-6)
+            wcoef = jnp.where(
+                wf_mask,
+                -2.0 * ggamAS * u_star * u_star / jnp.maximum(abs_ut, 1e-6),
+                0.0,
+            )
+            out["DvDt_x"] = out["DvDt_x"] + wcoef * ut_x
+            out["DvDt_y"] = out["DvDt_y"] + wcoef * ut_y
+            out["DvDt_z"] = out["DvDt_z"] + wcoef * ut_z
+
         if fw.flags & SimFlags.ENABLE_INTERNAL_ENERGY:
             # dU/dt -= (a_pair . v_ij)/2 (forces_kernel.def:3306-3316)
             dedt = s * vel_dot_pos
@@ -438,7 +540,8 @@ def compute_forces(
         if fw.has_xsph:
             w = kernW(fw.kerneltype, g.r, h)
             xw = jnp.where(
-                g.mask & c_fluid & n_fluid, -2.0 * m_n * w / (rho_c + rho_n), 0.0
+                (gmask if sa else g.mask) & c_fluid & n_fluid,
+                -2.0 * m_n * w / (rho_c + rho_n), 0.0,
             )
             out["xsph_x"] = xw * relvx
             out["xsph_y"] = xw * relvy
@@ -446,13 +549,16 @@ def compute_forces(
 
         return out
 
+    nl_radius = sp.influenceradius + (0.5 * sp.deltap if sa else 0.0)
     sums = neighbor_apply(
         grid,
         aux,
         fields,
         pair_fn,
         max_parts_per_cell=sp.max_parts_per_cell,
-        influenceradius=sp.influenceradius,
+        # SA: segments act through their whole triangle -> expanded mask
+        # radius (volumic kernel terms vanish beyond 2h anyway)
+        influenceradius=nl_radius,
         chunk_cells=chunk_cells,
     )
 
@@ -504,6 +610,35 @@ def compute_forces(
         xsph = jnp.zeros_like(state.vel)
     DEDt = sums.get("DEDt", jnp.zeros_like(DrDt))
 
+    if keps:
+        # k-eps fixup (viscous_fixup, forces_kernel.def:3120-3170):
+        # divide by rho*gamma, add turbulent production
+        rho_a = fields["rho"]
+        gam_a = gamma if gamma is not None else jnp.ones_like(rho_a)
+        rhoGam = jnp.maximum(rho_a * gam_a, 1e-12)
+        diff_k = sums["dk"] / rhoGam
+        diff_e = sums["de"] / rhoGam
+        SijSij_bytwo = (
+            2.0 * (sums["t_xx"] ** 2 + sums["t_yy"] ** 2 + sums["t_zz"] ** 2)
+            + sums["t_xy"] ** 2 + sums["t_xz"] ** 2 + sums["t_yz"] ** 2
+        )
+        S = jnp.sqrt(SijSij_bytwo) / rhoGam
+        SijSij_bytwo = SijSij_bytwo / (rhoGam * rhoGam)
+        k_a = fields["tke"]
+        e_a = jnp.maximum(fields["eps"], 1e-10)
+        nut_a = fields["turbvisc"]
+        Pturb = jnp.minimum(nut_a * SijSij_bytwo, 0.3 * k_a * S)
+        diff_k = diff_k + Pturb
+        diff_e = diff_e + e_a * 1.44 * Pturb / jnp.maximum(k_a, 1e-10)
+        ce2 = jnp.minimum(sums["min_ce2"], 1.92)
+        dkde = jnp.where(
+            is_fluid_c[:, None],
+            jnp.stack([diff_k, diff_e, ce2], axis=-1),
+            0.0,
+        )
+    else:
+        dkde = jnp.zeros(())
+
     # --- CFL reductions (forces.cu:557-600) ---------------------------------
     accel2 = jnp.sum(DvDt * DvDt, axis=-1)
     max_accel = jnp.sqrt(jnp.max(jnp.where(is_fluid_c, accel2, 0.0)))
@@ -521,6 +656,7 @@ def compute_forces(
         max_accel=max_accel,
         max_sspeed=max_sspeed,
         max_kinvisc=max_kinvisc,
+        dkde=dkde,
     )
 
 

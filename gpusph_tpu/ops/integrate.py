@@ -106,6 +106,28 @@ def euler_step(
             is_fluid, extras["energy"] + forces.DEDt * dt_eff, extras["energy"]
         )
 
+    # k-epsilon implicit update + eddy viscosity (integrate_k_e,
+    # euler_kernel.def:219-230, turbvisc write :335 — written with the
+    # standard C_mu = 0.09, matching the model constants used everywhere
+    # else; the reference's 0.9 literal there appears to be a typo)
+    from ..defs import TurbulenceModel
+
+    if fw.visc.turbmodel == TurbulenceModel.KEPSILON:
+        oldK = jnp.maximum(extras["tke"], 1e-10)
+        oldE = jnp.maximum(extras["eps"], 1e-10)
+        dk = forces.dkde[:, 0]
+        de = forces.dkde[:, 1]
+        ce2 = forces.dkde[:, 2]
+        newK = (oldK + dt_eff * dk) / (1.0 + dt_eff * oldE / oldK)
+        newE = (oldE + dt_eff * de) / (1.0 + dt_eff * oldE / oldK * ce2)
+        newK = jnp.maximum(newK, 1e-10)
+        newE = jnp.maximum(newE, 1e-10)
+        extras["tke"] = jnp.where(is_fluid, newK, extras["tke"])
+        extras["eps"] = jnp.where(is_fluid, newE, extras["eps"])
+        extras["turbvisc"] = jnp.where(
+            is_fluid, 0.09 * newK * newK / newE, extras["turbvisc"]
+        )
+
     return state_n.replace(pos=new_pos, vel=new_vel, rho=new_rho, extras=extras)
 
 

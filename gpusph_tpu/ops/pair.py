@@ -147,7 +147,12 @@ def neighbor_apply(
         geom = PairGeometry(relx, rely, relz, r2, jnp.sqrt(r2), mask)
 
         out = pair_fn(central, neib, geom)
-        out_sum = {k: jnp.sum(v, axis=2) for k, v in out.items()}  # [C,K]
+        # keys prefixed "min_" reduce with min instead of sum (pair_fn must
+        # emit +inf on invalid pairs for those)
+        out_sum = {
+            k: (jnp.min(v, axis=2) if k.startswith("min_") else jnp.sum(v, axis=2))
+            for k, v in out.items()
+        }  # [C,K]
         sidx = jnp.where(cmask, cidx, out_n)
         return sidx, out_sum
 
@@ -163,9 +168,15 @@ def neighbor_apply(
     results = {}
     for name, v in sums.items():
         flat = v.reshape(-1)
-        results[name] = (
-            jnp.zeros((out_n,), flat.dtype).at[flat_idx].set(flat, mode="drop")
-        )
+        if name.startswith("min_"):
+            results[name] = (
+                jnp.full((out_n,), jnp.inf, flat.dtype)
+                .at[flat_idx].min(flat, mode="drop")
+            )
+        else:
+            results[name] = (
+                jnp.zeros((out_n,), flat.dtype).at[flat_idx].set(flat, mode="drop")
+            )
     return results
 
 

@@ -205,7 +205,13 @@ def grad_gamma_wendland(q, qvb, ns, slength):
             )
         )
         gradG = gradG + jnp.where(near, term, 0.0)
-        sumAngles = sumAngles + jnp.where(near, ang, 0.0)
+        # NB: the reference adds the *clipped* pav angles here (pav0/pav1
+        # are reassigned before the sumAngles line, gamma.cuh:356)
+        ang_c = jnp.copysign(
+            jnp.arctan2(pav1c, jnp.abs(pae)) - jnp.arctan2(pav0c, jnp.abs(pae)),
+            pae,
+        )
+        sumAngles = sumAngles + jnp.where(near, ang_c, 0.0)
 
     # clipped-vertex / non-intersected-edge correction (gamma.cuh:362-369)
     tmp1 = jnp.maximum(1.0 - 0.5 * qas, 0.0)
@@ -286,7 +292,9 @@ def compute_gamma(fw: SimFramework, grid: CellGrid, state: ParticleState,
     sums = neighbor_apply(
         grid, aux, fields, pair_fn,
         max_parts_per_cell=sp.max_parts_per_cell,
-        influenceradius=sp.influenceradius,
+        # segments interact through their whole triangle: expanded search
+        # radius (reference boundNlSqInflRad, GPUWorker.cc:1890)
+        influenceradius=sp.influenceradius + 0.5 * sp.deltap,
         chunk_cells=chunk_cells,
     )
     gamma = jnp.clip(1.0 - sums["gamma_def"], 1e-3, 1.0)
@@ -314,6 +322,9 @@ def impose_boundary_conditions(fw: SimFramework, grid: CellGrid,
     rho_phys = eos.physical_density(pp, state.rho, f_num)
     gvec = pp.gravity
 
+    from ..defs import TurbulenceModel
+
+    keps = fw.visc.turbmodel == TurbulenceModel.KEPSILON
     fields = dict(
         **split_vec("pos", state.pos),
         mass=state.mass,
@@ -323,6 +334,9 @@ def impose_boundary_conditions(fw: SimFramework, grid: CellGrid,
         **{k: v for k, v in sa_extra_fields(state).items()
            if k.startswith("nrm")},
     )
+    if keps:
+        fields["tke"] = state.extras["tke"]
+        fields["eps"] = state.extras["eps"]
 
     FLUID = ParticleType.FLUID
 
@@ -334,15 +348,25 @@ def impose_boundary_conditions(fw: SimFramework, grid: CellGrid,
         inner = (
             c["nrm_x"] * g.relx + c["nrm_y"] * g.rely + c["nrm_z"] * g.relz
         ) < 0.0
-        ok = g.mask & c_wall & n_fluid & inner
+        # wall BC sums are fluid-kernel sums: true influence radius
+        ok = g.mask & c_wall & n_fluid & inner & (
+            g.r2 < jnp.float32(sp.influenceradius**2)
+        )
         w = kernW(fw.kerneltype, g.r, h)
         # hydrostatically-corrected wall pressure (bc_kernel.cu:1513)
         g_dot_rel = gvec[0] * g.relx + gvec[1] * g.rely + gvec[2] * g.relz
         pwall = jnp.maximum(n["press"] + n["rho"] * g_dot_rel, 0.0)
-        return {
+        out = {
             "sumpWall": jnp.where(ok, pwall * w, 0.0),
             "shepard": jnp.where(ok, w, 0.0),
         }
+        if keps:
+            # k-eps wall values are Shepard averages of the fluid
+            # (keps_fluid_contrib / impose_solid_keps_bc,
+            # boundary_conditions_kernel.cu:1266-1270)
+            out["sumtke"] = jnp.where(ok, n["tke"] * w, 0.0)
+            out["sumeps"] = jnp.where(ok, n["eps"] * w, 0.0)
+        return out
 
     sums = neighbor_apply(
         grid, aux, fields, pair_fn,
@@ -353,11 +377,16 @@ def impose_boundary_conditions(fw: SimFramework, grid: CellGrid,
     shepard = jnp.maximum(sums["shepard"], 0.1 * gamma)
     p_wall = sums["sumpWall"] / shepard
     rho_wall = eos.density_from_pressure(pp, p_wall, f_num)
-    is_wall = ptype != FLUID
-    is_wall = is_wall & (
-        (ptype == ParticleType.BOUNDARY) | (ptype == ParticleType.VERTEX)
-    )
+    is_wall = (ptype == ParticleType.BOUNDARY) | (ptype == ParticleType.VERTEX)
     new_rho = jnp.where(is_wall, rho_wall, state.rho)
+    if keps:
+        extras = dict(state.extras)
+        extras["tke"] = jnp.where(
+            is_wall, sums["sumtke"] / shepard, state.extras["tke"])
+        extras["eps"] = jnp.where(
+            is_wall, jnp.maximum(sums["sumeps"] / shepard, 1e-5),
+            state.extras["eps"])
+        return state.replace(rho=new_rho, extras=extras)
     return state.replace(rho=new_rho)
 
 

@@ -491,8 +491,14 @@ class Problem:
             self._update_pp(dcoeff=5.0 * self.get_gravity_magnitude() * H)
             self.fw = self.fw.finalize()
 
+        # SA boundary elements interact through their whole triangle, not
+        # just the barycenter: expand the neighbor-search radius by dp/2
+        # like the reference (boundNlSqInflRad, GPUWorker.cc:1890)
+        nl_radius = self.fw.influenceradius
+        if self.sa_meshes:
+            nl_radius += 0.5 * dp
         grid = make_grid(
-            self.origin, self.size, self.fw.influenceradius,
+            self.origin, self.size, nl_radius,
             periodic=self.fw.periodicbound,
         )
 
@@ -589,8 +595,8 @@ class Problem:
             pos_list.append(mesh["verts"])
             vel_list.append(np.zeros((nv, 3)))
             rho_list.append(np.zeros(nv))
-            # Crixus-style vertex mass: rho0 * dp * owned wall area
-            mass_list.append(rho0_0 * dp * mesh["vert_area"])
+            # Crixus-style vertex mass: rho0 x the fluid-side Voronoi volume
+            mass_list.append(rho0_0 * mesh["vert_volume"])
             info_list.append(
                 np.full(nv, np.uint32(int(ParticleType.VERTEX)), np.uint32)
             )
@@ -626,9 +632,15 @@ class Problem:
         if self.fw.flags & _SimFlags.ENABLE_INTERNAL_ENERGY:
             extras["energy"] = jnp.zeros((capacity,), jnp.float32)
         from ..defs import RheologyType as _Rheo
+        from ..defs import TurbulenceModel as _Turb
         if self.fw.visc.rheologytype == _Rheo.GRANULAR:
             # effective-pressure buffer for the Jacobi solver (BUFFER_EFFPRES)
             extras["effpres"] = jnp.zeros((capacity,), jnp.float32)
+        if self.fw.visc.turbmodel == _Turb.KEPSILON:
+            # BUFFER_TKE / BUFFER_EPSILON / BUFFER_TURBVISC
+            extras["tke"] = jnp.zeros((capacity,), jnp.float32)
+            extras["eps"] = jnp.full((capacity,), 1e-5, jnp.float32)
+            extras["turbvisc"] = jnp.zeros((capacity,), jnp.float32)
         state = empty_state(capacity, extras)
         pos = np.concatenate(pos_list).astype(np.float32)
         state = state.replace(
@@ -659,7 +671,15 @@ class Problem:
             extras["grenier_vol0"] = jnp.asarray(state.mass / rho0, jnp.float32)
             extras["grenier_J"] = jnp.zeros((capacity,), jnp.float32)
             state = state.replace(extras=extras)
+        # problem-specific particle initialization hook (the reference's
+        # ProblemCore::initializeParticles / init_keps, ProblemCore.h:597-609)
+        state = self.initialize_particles(grid, state)
         return grid, state
+
+    def initialize_particles(self, grid: CellGrid, state: ParticleState):
+        """Override to set initial per-particle fields (velocity profiles,
+        k/epsilon, ...) after the fill (reference initializeParticles)."""
+        return state
 
 
 def _tset(t: tuple, i: int, v):

@@ -1193,3 +1193,76 @@ class StillWaterSA(Problem):
         self.add_box(GeometryType.FLUID, FillType.SOLID,
                      (wd, wd, wd), l - 2 * wd, l - 2 * wd, H - wd)
         self.set_water_level(H)
+
+
+class TurbulentPoiseuilleFlowSA(Problem):
+    """Turbulent channel flow between two SA wall plates with the k-epsilon
+    model (reference `src/problems/TurbulentPoiseuilleFlowSA.cu`): periodic
+    in x/y, driven by a unit body force along x, walls at z = +-1; the
+    steady state must approach the log-law profile (`gpusph-valid.tex:673`).
+
+    Deviation: the reference uses Brezzi diffusion + density summation; this
+    build runs the continuity equation with Ferrari diffusion instead.
+    """
+
+    name = "TurbulentPoiseuilleFlowSA"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            formulation=SPHFormulation.SPH_F1,
+            boundary=BoundaryType.SA_BOUNDARY,
+            rheology=RheologyType.NEWTONIAN,
+            turbulence_model=TurbulenceModel.KEPSILON,
+            visc_model=ViscousModel.MORRIS,
+            periodicity=Periodicity.X | Periodicity.Y,
+            density_diffusion=DensityDiffusionType.FERRARI,
+            simparams=SimParams(densityDiffCoeff=0.1, dtadaptfactor=0.3),
+        )
+        self.set_deltap(self.get_option("deltap", 0.025))
+        dp = self.deltap
+        self.set_gravity((1.0, 0.0, 0.0))
+        fl = self.add_fluid(1000.0)
+        self.set_kinematic_visc(fl, 0.0015625)
+        self.set_equation_of_state(fl, 7.0, 40.0)
+        self.set_tend(self.get_option("tend", 100.0))
+        self.add_writer(freq=1.0)
+
+        self.make_universe_box((-0.25, -0.25, -1.0 - 2 * dp),
+                               (0.5, 0.5, 2.0 + 4 * dp))
+        from ..geometry.sa_mesh import plate_sa_mesh
+
+        for (z0, nrm) in ((-1.0, (0, 0, 1.0)), (1.0, (0, 0, -1.0))):
+            self.sa_meshes.append(plate_sa_mesh(
+                (-0.25, -0.25, z0), (0.5, 0, 0), (0, 0.5, 0), nrm, dp,
+                periodic_u=True, periodic_v=True,
+            ))
+        self.add_box(GeometryType.FLUID, FillType.SOLID,
+                     (-0.25 + dp / 2, -0.25 + dp / 2, -1.0 + dp),
+                     0.5 - dp, 0.5 - dp, 2.0 - 2 * dp)
+        self.set_water_level(1.0 + 2 * dp)  # no hydrostatic gradient (g is horizontal)
+
+    def initialize_particles(self, grid, state):
+        # log-law velocity + k/eps init (reference initializeParticles,
+        # TurbulentPoiseuilleFlowSA.cu:82-110)
+        import jax.numpy as jnp
+
+        from ..state import part_type
+
+        nu = 0.0015625
+        r0 = self.deltap
+        z = state.pos[:, 2]
+        dist = jnp.maximum(1.0 - jnp.abs(z), 0.5 * r0)
+        ux = jnp.log(dist / nu) / 0.41 + 5.2
+        is_fl = part_type(state.info) == 0
+        vel = state.vel.at[:, 0].set(jnp.where(is_fl, ux, 0.0))
+        extras = dict(state.extras)
+        extras["tke"] = jnp.where(
+            state.active, jnp.full_like(z, 1.0 / math.sqrt(0.09)), 0.0)
+        extras["eps"] = jnp.where(
+            state.active, 1.0 / (0.41 * dist), 1e-5)
+        extras["turbvisc"] = 0.09 * extras["tke"] ** 2 / jnp.maximum(
+            extras["eps"], 1e-10)
+        return state.replace(
+            vel=vel, rho=jnp.zeros_like(state.rho), extras=extras)
