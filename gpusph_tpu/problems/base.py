@@ -428,8 +428,12 @@ class Problem:
         # density) plus headroom for transient compression; the runtime
         # CHECK_NEIBSNUM-style abort still guards the margin
         if not max_ppc and self.fw.sp.max_parts_per_cell == SimParams().max_parts_per_cell:
+            # probe with the same (SA-expanded) radius the real grid uses
+            probe_radius = self.fw.influenceradius
+            if self.sa_meshes:
+                probe_radius += 0.5 * self.deltap
             probe = make_grid(
-                self.origin, self.size, self.fw.influenceradius,
+                self.origin, self.size, probe_radius,
                 periodic=self.fw.periodicbound,
             )
             occ = 1.0

@@ -1266,3 +1266,372 @@ class TurbulentPoiseuilleFlowSA(Problem):
             extras["eps"], 1e-10)
         return state.replace(
             vel=vel, rho=jnp.zeros_like(state.rho), extras=extras)
+
+
+class _LithostaticBase(Problem):
+    """Lithostatic equilibrium: a water layer over a saturated sediment bed
+    in a box (reference `src/problems/Lithostatic.inc`): SPH_HA + granular
+    rheology; the Jacobi effective-pressure solver must reproduce the
+    lithostatic profile p_eff(z) = (rho_sed - rho_w) g (hs - z) (validated by
+    `scripts/validate-lithostatic.py`)."""
+
+    boundary = BoundaryType.LJ_BOUNDARY
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        dp = self.get_option("deltap", 0.05)
+        # Lithostatic.inc:44-48
+        self.hs = (math.floor(1.0 / dp) - 0.5) * dp
+        self.hw = math.floor(1.0 / dp) * dp
+        H = 2.5
+        l = 1.0
+        self.setup_framework(
+            formulation=SPHFormulation.SPH_HA,
+            kernel=KernelType.WENDLAND,
+            boundary=self.boundary,
+            rheology=RheologyType.GRANULAR,
+            turbulence_model=TurbulenceModel.LAMINAR_FLOW,
+            visc_model=ViscousModel.MORRIS,
+            visc_average=AverageOperator.HARMONIC,
+            density_diffusion=DensityDiffusionType(
+                self.get_option("density-diffusion", 0)),
+            simparams=SimParams(
+                sfactor=2.0, dtadaptfactor=0.3, densityDiffCoeff=0.5,
+                jacobi_maxiter=self.get_option("jacobi_maxiter", 1000),
+                jacobi_backerr=3e-5, jacobi_residual=3e-5,
+            ),
+        )
+        self.set_deltap(dp)
+        g = 9.81
+        self.set_gravity(-g)
+        c0 = 10.0 * math.sqrt(g * H)
+        w = self.add_fluid(1000.0)
+        self.set_dynamic_visc(w, 1.0e-3)
+        s = self.add_fluid(1892.0)
+        f = dataclasses_replace(self.fw.pp.fluids[s], sinpsi=0.5, cohesion=0.0,
+                                kinematic_visc=1.0e-6)
+        fluids = list(self.fw.pp.fluids)
+        fluids[s] = f
+        self._update_pp(fluids=tuple(fluids), limiting_kinvisc=1e-6)
+        self.set_equation_of_state(w, 7.0, c0)
+        self.set_equation_of_state(s, 7.0, c0)
+        tref = math.sqrt(H / g)
+        self.set_tend(self.get_option("tend", 10 * tref))
+        self.add_writer(freq=tref / 10)
+        self.set_max_fall(self.hw + self.hs)
+
+        layers = self.dyn_layers
+        wall = layers * dp
+        self.make_universe_box((-wall, -wall, -wall),
+                               (l + 2 * wall, l + 2 * wall, H + 2 * wall))
+        self.add_points(
+            GeometryType.FIXED_BOUNDARY,
+            _tank_points((0, 0, 0), (l, l, H), dp,
+                         layers if self.boundary == BoundaryType.DYN_BOUNDARY
+                         else 1),
+        )
+        # sediment bed (fluid 1, FG_SEDIMENT) then water above
+        self.add_box(GeometryType.FLUID, FillType.SOLID,
+                     (dp, dp, dp), l - 2 * dp, l - 2 * dp, self.hs - dp,
+                     fluid_idx=s, sediment=True)
+        self.add_box(GeometryType.FLUID, FillType.SOLID,
+                     (dp, dp, self.hs + dp / 2),
+                     l - 2 * dp, l - 2 * dp, self.hw - dp / 2)
+        self.set_water_level(self.hs + self.hw)
+
+
+class LithostaticLJ(_LithostaticBase):
+    """Lithostatic equilibrium with Lennard-Jones walls
+    (reference `src/problems/LithostaticLJ.cu`)."""
+
+    name = "LithostaticLJ"
+    boundary = BoundaryType.LJ_BOUNDARY
+
+
+class LithostaticDYN(_LithostaticBase):
+    """Lithostatic equilibrium with dynamic-boundary walls
+    (reference `src/problems/LithostaticDYN.cu`)."""
+
+    name = "LithostaticDYN"
+    boundary = BoundaryType.DYN_BOUNDARY
+
+
+class BiFluidPoiseuille(Problem):
+    """Two-layer Poiseuille flow (reference
+    `src/problems/BiFluidPoiseuille.inc`, DYN variant): SPH_HA, periodic
+    x/y, channel height H=2 along z, body force g=0.1 along x, interface at
+    z = H (alpha - 1/2); validated against the analytic two-fluid profile
+    (`scripts/validate-bifluidepoiseuille.py`)."""
+
+    name = "BiFluidPoiseuille"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        H = 2.0
+        self.H = H
+        config = self.get_option("config", 1)
+        lam, omega = {0: (1.0, 1.0), 1: (4.0, 4.0), 2: (0.01, 1.0)}[config]
+        self.alpha = 0.5
+        g = 0.1
+        rho0, nu0 = 4000.0, 0.4
+        rho1, nu1 = rho0 / lam, nu0 / omega
+        self.setup_framework(
+            formulation=SPHFormulation.SPH_HA,
+            kernel=KernelType.WENDLAND,
+            rheology=RheologyType.NEWTONIAN,
+            turbulence_model=TurbulenceModel.LAMINAR_FLOW,
+            computational_visc=ComputationalViscosityType.DYNAMIC,
+            visc_model=ViscousModel.MORRIS,
+            visc_average=AverageOperator.HARMONIC,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            periodicity=Periodicity.XY,
+            density_diffusion=DensityDiffusionType(
+                self.get_option("density-diffusion",
+                                int(DensityDiffusionType.COLAGROSSI))),
+            flags=SimFlags.ENABLE_DTADAPT | SimFlags.ENABLE_MULTIFLUID,
+            simparams=SimParams(dtadaptfactor=0.3, densityDiffCoeff=0.05),
+        )
+        self.set_deltap(self.get_option("deltap", 0.05))
+        dp = self.deltap
+        self.set_gravity((g, 0.0, 0.0))
+        # umax of the analytic two-fluid profile (BiFluidPoiseuille.inc:103-120)
+        uref = g * H * H / (2 * nu0)
+        denom = 4 * (self.alpha + lam * omega - self.alpha * lam * omega) ** 2
+        a = self.alpha
+        umax0 = uref * (omega + 2*a*(lam-1)*omega + a*a*(1+omega-2*lam*omega))**2 / denom
+        umax1 = uref * omega * (a*(2+a*(lam-2)) + (a-1)**2*lam*omega)**2 / denom
+        umax = max(umax0, umax1)
+        self.umax = umax
+        bottom = self.add_fluid(rho0)
+        top = self.add_fluid(rho1)
+        self.set_equation_of_state(top, 7.0, 10 * umax)
+        self.set_equation_of_state(bottom, 7.0, 10 * umax)
+        self.set_kinematic_visc(bottom, nu0)
+        self.set_kinematic_visc(top, nu1)
+        tvisc = max(H * H / nu0, H * H / nu1)
+        self.set_tend(self.get_option("tend", 250 * tvisc))
+        self.add_writer(freq=tvisc)
+
+        l = a_w = H / 4
+        layers = self.dyn_layers
+        wall = layers * dp
+        self.make_universe_box((-l/2, -a_w/2, -H/2 - wall),
+                               (l, a_w, H + 2 * wall))
+        gap = dp / 2
+        for z0 in (-H/2 - wall, H/2):
+            self.add_points(
+                GeometryType.FIXED_BOUNDARY,
+                geo.fill_box((-l/2 + gap, -a_w/2 + gap, z0 + dp/2),
+                             (l - dp, a_w - dp, wall - dp), dp),
+            )
+        # bottom fluid (fluid 0) under the interface, top fluid above
+        zi = H * (self.alpha - 0.5)
+        self.add_box(GeometryType.FLUID, FillType.SOLID,
+                     (-l/2 + gap, -a_w/2 + gap, -H/2 + dp/2),
+                     l - dp, a_w - dp, zi - dp/2 - (-H/2), fluid_idx=bottom)
+        self.add_box(GeometryType.FLUID, FillType.SOLID,
+                     (-l/2 + gap, -a_w/2 + gap, zi + dp/2),
+                     l - dp, a_w - dp, H/2 - zi - dp, fluid_idx=top)
+        self.set_water_level(H)  # no vertical gravity: uniform density
+
+    def initialize_particles(self, grid, state):
+        import jax.numpy as jnp
+
+        return state.replace(rho=jnp.zeros_like(state.rho))
+
+
+class PoiseuillePapanastasiou(Poiseuille):
+    """Poiseuille channel with the Papanastasiou-regularized Bingham
+    rheology (reference `src/problems/PoiseuillePapanastasiou.cu` +
+    `Poiseuille.inc:73,135-139`: yield strength F rho lz / 4)."""
+
+    name = "PoiseuillePapanastasiou"
+
+    def __init__(self, options=None):
+        options = dict(options or {})
+        options.setdefault("viscmodel", int(ViscousModel.MORRIS))
+        super().__init__(options)
+        self.fw = dataclasses_replace(
+            self.fw,
+            visc=dataclasses_replace(
+                self.fw.visc, rheologytype=RheologyType.PAPANASTASIOU),
+        )
+        ys = self.driving_force * self.fw.pp.fluids[0].rho0 * self.lz / 4
+        f = dataclasses_replace(self.fw.pp.fluids[0], yield_strength=ys)
+        self._update_pp(fluids=(f,))
+        self.fw = self.fw.finalize()
+
+
+class AccuracyTest(Problem):
+    """Dam break in a long box, DYN boundaries + internal energy tracking
+    (reference `src/problems/AccuracyTest.cu`): 4.0 x 0.7 x 1.0 domain,
+    water column 0.4 x H=0.6 against the left wall."""
+
+    name = "AccuracyTest"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        lx, ly, lz = 4.0, 0.7, 1.0
+        H = 0.6
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            rheology=RheologyType.INVISCID,
+            turbulence_model=TurbulenceModel.ARTIFICIAL,
+            flags=SimFlags.ENABLE_DTADAPT | SimFlags.ENABLE_INTERNAL_ENERGY,
+            simparams=SimParams(dtadaptfactor=0.3),
+        )
+        self.set_deltap(self.get_option("deltap", 0.02))
+        dp = self.deltap
+        self.set_timestep(1e-5)
+        self.set_tend(self.get_option("tend", 1.5))
+        self.set_gravity(-9.81)
+        self.set_max_fall(H)
+        fl = self.add_fluid(1000.0)
+        self.set_equation_of_state(fl, 7.0, 50.0)
+        self.set_kinematic_visc(fl, 1.0e-6)
+        self._update_pp(artvisccoeff=0.3 * 0.005 / dp)
+        self.add_writer(freq=0.1)
+
+        self.make_universe_box((0, 0, 0), (lx, ly, lz))
+        # floor + 4 side walls (3-layer slabs, AccuracyTest.cu:76-100)
+        self.add_box(GeometryType.FIXED_BOUNDARY, FillType.SOLID,
+                     (0, 0, 0), lx, ly, 3 * dp)
+        self.add_box(GeometryType.FIXED_BOUNDARY, FillType.SOLID,
+                     (0, 0, 4 * dp), 3 * dp, ly, lz - 4 * dp)
+        self.add_box(GeometryType.FIXED_BOUNDARY, FillType.SOLID,
+                     (lx - 3 * dp, 0, 4 * dp), 3 * dp, ly, lz - 4 * dp)
+        self.add_box(GeometryType.FIXED_BOUNDARY, FillType.SOLID,
+                     (4 * dp, 0, 4 * dp), lx - 8 * dp, 3 * dp, lz - 4 * dp)
+        self.add_box(GeometryType.FIXED_BOUNDARY, FillType.SOLID,
+                     (4 * dp, ly - 3 * dp, 4 * dp), lx - 8 * dp, 3 * dp,
+                     lz - 4 * dp)
+        self.add_box(GeometryType.FLUID, FillType.SOLID,
+                     (4 * dp, 4 * dp, 4 * dp), 0.4, ly - 8 * dp, H)
+        self.set_water_level(4 * dp + H)
+
+
+class SolitaryWave(Problem):
+    """Solitary wave generated by a piston over a sloping beach with rising
+    cylinders (reference `src/problems/SolitaryWave.cu`): LJ boundary +
+    implicit planes (incl. the sloped bottom), piston velocity
+    c/cosh^2(a t + b) during the stroke window, 10 cylinders rising at
+    0.5 m/s for the first second."""
+
+    name = "SolitaryWave"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        lx, ly, lz = 9.0, 0.4, 3.0
+        slope_length, h_length = 8.5, 0.5
+        height = 0.63
+        beta = 4.2364 * math.pi / 180.0
+        H = 0.45
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.LJ_BOUNDARY,
+            rheology=RheologyType.INVISCID,
+            turbulence_model=TurbulenceModel.ARTIFICIAL,
+            flags=SimFlags.ENABLE_DTADAPT,
+            simparams=SimParams(dtadaptfactor=0.3),
+        )
+        self.set_deltap(self.get_option("deltap", 0.02))
+        dp = self.deltap
+        r0 = dp
+        self.set_timestep(0.00013)
+        self.set_tend(self.get_option("tend", 10.0))
+        self.set_gravity(-9.81)
+        self.set_max_fall(H)
+        g = 9.81
+        fl = self.add_fluid(1000.0)
+        self.set_equation_of_state(fl, 7.0, 20.0)
+        self.set_kinematic_visc(fl, 1.0e-6)
+        self.add_writer(freq=0.1)
+        from ..defs import PostProcessType
+
+        self.add_postprocess(PostProcessType.VORTICITY)
+
+        # piston kinematics (SolitaryWave.cu:70-83)
+        amplitude = 0.2
+        Hoh = amplitude / H
+        kappa = math.sqrt(3 * Hoh) / (2.0 * H)
+        cel = math.sqrt(g * (H + amplitude))
+        S = math.sqrt(16.0 * amplitude * H / 3.0)
+        tau = 2.0 * (3.8 + Hoh) / (kappa * cel)
+        tstart, tend_p = 0.2, tau
+        x0 = r0
+        a = 2.0 * (3.8 + Hoh) / tau
+        b = 2.0 * ((3.8 + Hoh) * (-tstart / tau - 0.5)
+                   - 2.0 * Hoh * (x0 / S - 0.5))
+        c = (3.8 + Hoh) * S / tau
+
+        self.make_universe_box((0.0, 0.0, -1.2 * height),
+                               (lx, ly, lz + 1.2 * height))
+        # fluid: layered fill following the beach (SolitaryWave.cu:92-100)
+        pts = []
+        n = 0
+        z = 0.0
+        while z < H:
+            z = n * dp + 1.5 * r0
+            x = x0 + r0
+            l = h_length + z / math.tan(beta) - 1.5 * r0 / math.sin(beta) - x
+            if l > 0:
+                pts.append(geo.fill_box((x, r0, z), (l, ly - 2 * r0, 0.0), dp))
+            n += 1
+        self.add_points(GeometryType.FLUID, np.concatenate(pts))
+
+        # piston: single-layer moving plate
+        piston = self.add_points(
+            GeometryType.MOVING_BODY,
+            geo.fill_box((x0, 0, 0), (0.0, ly, height), dp),
+        )
+
+        import jax.numpy as jnp
+
+        def piston_motion(t):
+            on = (t >= tstart) & (t <= tend_p)
+            ch = jnp.cosh(a * t + b)
+            vx = jnp.where(on, c / (ch * ch), 0.0)
+            return (vx, jnp.zeros_like(vx), jnp.zeros_like(vx)), (0.0, 0.0, 0.0)
+
+        self.set_body_motion(piston, piston_motion)
+
+        # rising cylinders (SolitaryWave.cu:103-133)
+        cylp = [
+            (h_length + slope_length / (math.cos(beta) * 10), ly / 2),
+            (h_length + slope_length / (math.cos(beta) * 10), ly / 6),
+            (h_length + slope_length / (math.cos(beta) * 10), 5 * ly / 6),
+            (h_length + slope_length / (math.cos(beta) * 5), 0),
+            (h_length + slope_length / (math.cos(beta) * 5), ly / 3),
+            (h_length + slope_length / (math.cos(beta) * 5), 2 * ly / 3),
+            (h_length + slope_length / (math.cos(beta) * 5), ly),
+            (h_length + 3 * slope_length / (math.cos(beta) * 10), ly / 6),
+            (h_length + 3 * slope_length / (math.cos(beta) * 10), ly / 2),
+            (h_length + 3 * slope_length / (math.cos(beta) * 10), 5 * ly / 6),
+        ]
+
+        def cyl_motion(t):
+            on = (t >= 0.0) & (t <= 1.0)
+            vz = jnp.where(on, 0.5, 0.0)
+            return (jnp.zeros_like(vz), jnp.zeros_like(vz), vz), (0.0, 0.0, 0.0)
+
+        for i, (cx, cy) in enumerate(cylp):
+            radius = 0.05 if i == 0 else 0.025
+            gid = self.add_cylinder(
+                GeometryType.MOVING_BODY, FillType.BORDER,
+                (cx, cy, -height), radius, height,
+            )
+            self.set_body_motion(gid, cyl_motion)
+
+        # implicit planes (copy_planes, SolitaryWave.cu:178-190)
+        w = ly
+        l_end = h_length + slope_length
+        self.add_plane((0, 0, 0), (0, 0, 1))
+        self.add_plane((0, 0, 0), (0, 1, 0))
+        self.add_plane((0, w, 0), (0, -1, 0))
+        self.add_plane((0, 0, 0), (1, 0, 0))
+        self.add_plane((l_end, 0, 0), (-1, 0, 0))
+        self.add_plane((h_length, 0, 0),
+                       (-math.sin(beta), 0.0, math.cos(beta)))
+        self.set_water_level(H)
