@@ -155,15 +155,23 @@ def reduce_body_forces(
     state: ParticleState,
     DvDt: jax.Array,
     bodies: BodiesState,
+    row_mask: Optional[jax.Array] = None,
 ) -> BodiesState:
     """Per-body fluid force/torque from the boundary particles' hydrodynamic
     accelerations (REDUCE_BODIES_FORCES; reference sums rbforces/rbtorques
-    per object, `src/GPUSPH.cc:802-830`)."""
+    per object, `src/GPUSPH.cc:802-830`).
+
+    ``row_mask`` restricts the reduction (multi-device: each shard reduces
+    its OWN rows only — ghost copies would double-count — and the per-device
+    partials are psum'd, the analogue of the reference's cross-device +
+    network body-force reduction, `src/GPUSPH.cc:802-830`)."""
     nb = len(specs)
     obj = object_num(state.info)
     contributes = has_flag(state.info, FG_COMPUTE_FORCE) & has_flag(
         state.info, FG_MOVING_BOUNDARY
     )
+    if row_mask is not None:
+        contributes = contributes & row_mask
     seg = jnp.where(contributes, obj, 0)
     f = jnp.where(contributes[:, None], DvDt * state.mass[:, None], 0.0)
     force = jax.ops.segment_sum(f, seg, num_segments=nb + 1)

@@ -76,6 +76,9 @@ class SimFramework:
     # geometric plane boundaries ((point3, normal3), ...) for ENABLE_PLANES
     # (reference `src/planes.h`, GeometryForce `forces_kernel.cu:190-210`)
     planes: Tuple[Tuple[Tuple[float, float, float], Tuple[float, float, float]], ...] = ()
+    # DEM terrain descriptor (ENABLE_DEM): packed hashable height field,
+    # see ops/dem.pack_dem (reference TopoCube + geom_core.cu DEM force)
+    dem: Optional[tuple] = None
     # variable gravity: traceable t -> (gx, gy, gz), evaluated inside the
     # jitted step before each forces pass (the reference's per-iteration
     # ProblemCore::g_callback, `src/ProblemCore.h:539` + simparams gcallback;

@@ -595,6 +595,13 @@ def compute_forces(
         DvDt = apply_plane_forces(
             fw, state.pos, state.vel, state.mass, is_fluid_c, DvDt
         )
+    if fw.dem is not None:
+        # DEM terrain geometry force (geom_core.cu DemTangentPlane + LJ)
+        from .dem import apply_dem_force
+
+        DvDt = apply_dem_force(
+            fw, state.pos, state.vel, state.mass, is_fluid_c, DvDt
+        )
     if grenier:
         # Grenier: DrDt holds DJ/Dt = (pair sum)/sigma (fixup, :3183-3190);
         # euler integrates J, density comes from the COMPUTE_DENSITY pass

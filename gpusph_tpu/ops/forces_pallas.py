@@ -775,6 +775,13 @@ def compute_forces_pallas(
         DvDt = apply_plane_forces(
             fw, state.pos, state.vel, state.mass, is_fluid_c, DvDt
         )
+    if fw.dem is not None:
+        # DEM terrain geometry force (geom_core.cu DemTangentPlane + LJ)
+        from .dem import apply_dem_force
+
+        DvDt = apply_dem_force(
+            fw, state.pos, state.vel, state.mass, is_fluid_c, DvDt
+        )
     rho0 = eos._per_fluid(pp, f_num, [f.rho0 for f in pp.fluids])
     DrDt = DrDt_phys / rho0
 

@@ -141,8 +141,15 @@ def detect_surface_interface(fw: SimFramework, grid: CellGrid,
 
 
 def jacobi_effpres(fw: SimFramework, grid: CellGrid, state: ParticleState,
-                   aux: CellAux, effpres=None, *, chunk_cells: int = 256):
+                   aux: CellAux, effpres=None, *, chunk_cells: int = 256,
+                   exchange=None, reduce_max=None):
     """Solve for the effective pressure of the sediment phase.
+
+    ``exchange(effpres) -> effpres`` refreshes halo rows between iterations
+    and ``reduce_max(x) -> x`` reduces the stop-criterion maxima across
+    devices (multi-device: the reference exchanges BUFFER_EFFPRES and
+    network-reduces the residual every Jacobi iteration,
+    `PredictorCorrectorIntegrator.cc:1046-1182`, `GPUSPH.cc:2293-2355`).
 
     Returns (effpres [N], info-with-surface-flags, iterations)."""
     sp, pp = fw.sp, fw.pp
@@ -258,7 +265,12 @@ def jacobi_effpres(fw: SimFramework, grid: CellGrid, state: ParticleState,
 
     def body(carry):
         ep, it, _, _ = carry
+        if exchange is not None:
+            ep = exchange(ep)
         ep, res, berr = one_iteration(ep)
+        if reduce_max is not None:
+            res = reduce_max(res)
+            berr = reduce_max(berr)
         return ep, it + 1, res, berr
 
     big = jnp.float32(1e30)

@@ -39,6 +39,8 @@ import numpy as np
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..bodies import (BodiesState, apply_body_motion, reduce_body_forces,
+                      step_bodies)
 from ..defs import ParticleType, SimFlags, SPHFormulation
 from ..framework import SimFramework
 from ..ops.filters import apply_filters
@@ -222,11 +224,16 @@ def make_sharded_chunk(
     steps_per_chunk: Optional[int] = None,
     use_pallas: Optional[bool] = None,
     chunk_cells: int = 256,
+    bodies_specs: tuple = (),
+    extras_keys: tuple = (),
 ):
     """Build the jitted multi-device chunk function.
 
     Takes/returns globally-sharded state arrays of shape
-    ``[ndev*cap_dev, ...]`` (sharded on the particle axis).
+    ``[ndev*cap_dev, ...]`` (sharded on the particle axis) plus a
+    replicated :class:`BodiesState` when ``bodies_specs`` are given.
+    ``extras_keys`` lists the state's extras entries (sharded like the
+    other particle arrays and refreshed in the per-step halo exchange).
     """
     sp = fw.sp
     nsteps = steps_per_chunk or sp.buildneibsfreq
@@ -241,37 +248,27 @@ def make_sharded_chunk(
     plane = dd.plane_cells
     slab = dd.slab
 
-    if fw.sph_formulation == SPHFormulation.SPH_GRENIER:
-        # Grenier needs a sigma halo-exchange after the COMPUTE_DENSITY pass
-        # (the reference's UPDATE_EXTERNAL on BUFFER_SIGMA) — ghost particles
-        # near the halo edge have truncated sigma otherwise.  Single-device
-        # only for now.
-        raise NotImplementedError(
-            "SPH_GRENIER is not yet supported in the multi-device path"
-        )
     from ..defs import RheologyType as _Rheo
 
-    if fw.visc.rheologytype == _Rheo.GRANULAR:
-        # the Jacobi effective-pressure solve needs a halo exchange per
-        # iteration; single-device only for now
-        raise NotImplementedError(
-            "granular rheology is not yet supported in the multi-device path"
-        )
-    if fw.gcallback is not None:
-        raise NotImplementedError(
-            "variable gravity is not yet supported in the multi-device path"
-        )
+    grenier = fw.sph_formulation == SPHFormulation.SPH_GRENIER
+    granular = fw.visc.rheologytype == _Rheo.GRANULAR
+    specs = tuple(bodies_specs)
 
     if use_pallas is None:
-        use_pallas = pallas_supported(fw, lg) and jax.default_backend() != "cpu"
+        use_pallas = (
+            pallas_supported(fw, lg)
+            and not grenier and not granular
+            and jax.default_backend() != "cpu"
+        )
 
     if use_pallas:
-        def forces(state, aux, dt):
+        def raw_forces(state, aux, dt, t, sigma=None, gamma=None):
             return compute_forces_pallas(fw, lg, state, aux, dt=dt)
     else:
-        def forces(state, aux, dt):
+        def raw_forces(state, aux, dt, t, sigma=None, gamma=None):
             return compute_forces(fw, lg, state, aux, dt=dt,
-                                  chunk_cells=chunk_cells)
+                                  chunk_cells=chunk_cells,
+                                  sigma=sigma, t=t, gamma=gamma)
 
     up_perm = [(i, i + 1) for i in range(ndev - 1)]
     down_perm = [(i + 1, i) for i in range(ndev - 1)]
@@ -280,7 +277,7 @@ def make_sharded_chunk(
         """Local linear cell ids of split-plane p: [p*plane, (p+1)*plane)."""
         return p * plane, (p + 1) * plane
 
-    def body(state: ParticleState, dt, t, iters):
+    def body(state: ParticleState, dt, t, iters, bodies):
         """Per-device chunk body (inside shard_map). state: [cap] rows."""
         dev = jax.lax.axis_index(axis)
 
@@ -413,51 +410,127 @@ def make_sharded_chunk(
             n_active=jnp.sum(is_active(local.info).astype(jnp.int32)),
         )
 
+        def exchange_tree(tree):
+            """UPDATE_EXTERNAL for arbitrary [capX,...] per-particle arrays:
+            resend the boundary-plane windows and overwrite the live ghost
+            rows (ghost regions are verbatim copies in sender order)."""
+            def one(a):
+                def win(start):
+                    idx = start + jnp.arange(H, dtype=jnp.int32)
+                    idx = jnp.minimum(idx, capX - 1)
+                    return a[idx]
+                r_dn = jax.lax.ppermute(win(my_up_start), axis, up_perm)
+                r_up = jax.lax.ppermute(win(my_lo_start), axis, down_perm)
+                return r_dn, r_up
+            return jax.tree.map(one, tree)
+
+        ghost_dn_alive = is_active(comb.info[cap:cap + H])
+        ghost_up_alive = is_active(comb.info[cap + H:])
+
         def halo_refresh(stc: ParticleState):
-            """UPDATE_EXTERNAL: resend boundary-plane values every step."""
-            def win(start):
-                idx = start + jnp.arange(H, dtype=jnp.int32)
-                idx = jnp.minimum(idx, capX - 1)
-                return stc.pos[idx], stc.vel[idx], stc.rho[idx]
-            lo_vals = win(my_lo_start)
-            up_vals = win(my_up_start)
-            r_dn = jax.tree.map(lambda a: jax.lax.ppermute(a, axis, up_perm), up_vals)
-            r_up = jax.tree.map(lambda a: jax.lax.ppermute(a, axis, down_perm), lo_vals)
-            # ghost regions were filled (at rebuild) from exactly these
-            # windows in the same sorted order, so overwrite verbatim where
-            # the ghost row is alive
-            gd = is_active(stc.info[cap:cap + H])[:, None]
-            gu = is_active(stc.info[cap + H:])[:, None]
-            pos = stc.pos
-            vel = stc.vel
-            rho = stc.rho
-            pos = pos.at[cap:cap + H].set(jnp.where(gd, r_dn[0], pos[cap:cap + H]))
-            vel = vel.at[cap:cap + H].set(jnp.where(gd, r_dn[1], vel[cap:cap + H]))
-            rho = rho.at[cap:cap + H].set(jnp.where(gd[:, 0], r_dn[2], rho[cap:cap + H]))
-            pos = pos.at[cap + H:].set(jnp.where(gu, r_up[0], pos[cap + H:]))
-            vel = vel.at[cap + H:].set(jnp.where(gu, r_up[1], vel[cap + H:]))
-            rho = rho.at[cap + H:].set(jnp.where(gu[:, 0], r_up[2], rho[cap + H:]))
-            return stc.replace(pos=pos, vel=vel, rho=rho)
+            """UPDATE_EXTERNAL: resend boundary-plane values every step
+            (pos/vel/rho + every extras field)."""
+            tree = {"pos": stc.pos, "vel": stc.vel, "rho": stc.rho,
+                    **{k: stc.extras[k] for k in stc.extras}}
+            recv = exchange_tree(tree)
+
+            def write(a, rv):
+                r_dn, r_up = rv
+                gd = ghost_dn_alive
+                gu = ghost_up_alive
+                if a.ndim > 1:
+                    gd = gd[:, None]
+                    gu = gu[:, None]
+                a = a.at[cap:cap + H].set(jnp.where(gd, r_dn, a[cap:cap + H]))
+                a = a.at[cap + H:].set(jnp.where(gu, r_up, a[cap + H:]))
+                return a
+
+            new = {k: write(tree[k], recv[k]) for k in tree}
+            extras = {k: new[k] for k in stc.extras}
+            return stc.replace(pos=new["pos"], vel=new["vel"],
+                               rho=new["rho"], extras=extras)
+
+        def exchange_field(a):
+            """Per-field halo refresh (sigma / effpres exchanges)."""
+            (r_dn, r_up), = (exchange_tree((a,)),)
+            a = a.at[cap:cap + H].set(
+                jnp.where(ghost_dn_alive, r_dn, a[cap:cap + H]))
+            a = a.at[cap + H:].set(
+                jnp.where(ghost_up_alive, r_up, a[cap + H:]))
+            return a
+
+        local_rows = jnp.arange(capX, dtype=jnp.int32) < cap
+
+        def gravity_at(t):
+            return fw.gcallback(t) if fw.gcallback is not None else fw.pp.gravity
+
+        def prep(stc):
+            """Pre-forces phases with their halo exchanges (Grenier
+            COMPUTE_DENSITY sigma, granular Jacobi effpres)."""
+            sigma = None
+            if grenier:
+                from ..ops.grenier import grenier_density_sigma
+
+                sigma, rho = grenier_density_sigma(
+                    fw, lg, stc, aux, chunk_cells=chunk_cells)
+                # ghosts' sigma is truncated at the outer edge: take the
+                # owners' values (UPDATE_EXTERNAL on BUFFER_SIGMA)
+                sigma = exchange_field(sigma)
+                stc = stc.replace(rho=exchange_field(rho))
+            if granular:
+                from ..ops.jacobi import jacobi_effpres
+
+                ep, info2, _ = jacobi_effpres(
+                    fw, lg, stc, aux, stc.extra("effpres"),
+                    chunk_cells=chunk_cells,
+                    exchange=exchange_field,
+                    reduce_max=lambda x: jax.lax.pmax(x, axis),
+                )
+                extras = dict(stc.extras)
+                extras["effpres"] = exchange_field(ep)
+                stc = stc.replace(extras=extras, info=info2)
+            return stc, sigma
+
+        def forces(stc, dt, t):
+            stc, sigma = prep(stc)
+            return raw_forces(stc, aux, dt, t, sigma=sigma), stc
 
         # ===== integration steps ===========================================
         def pc_step(carry, it):
-            stc, dt, t = carry
+            stc, dt, t, bodies = carry
             stc = apply_filters(fw, lg, stc, aux, it)
-            f1 = forces(stc, aux, dt)
+            f1, stc = forces(stc, dt, t)
             half = euler_step(fw, stc, f1, dt * 0.5, step=1, grid=lg)
+            if specs:
+                b1 = reduce_body_forces(specs, stc, f1.DvDt, bodies,
+                                        row_mask=local_rows)
+                b1 = b1.replace(force=jax.lax.psum(b1.force, axis),
+                                torque=jax.lax.psum(b1.torque, axis))
+                b_half = step_bodies(specs, b1, gravity_at(t), t, dt * 0.5)
+                half = apply_body_motion(specs, half, b_half, dt * 0.5)
             half = halo_refresh(half)
-            f2 = forces(half, aux, dt)
+            f2, half = forces(half, dt, t + dt * 0.5)
             new = euler_step(fw, stc, f2, dt, step=2, full_dt=dt, grid=lg)
+            if specs:
+                b2 = reduce_body_forces(specs, half, f2.DvDt, bodies,
+                                        row_mask=local_rows)
+                b2 = b2.replace(force=jax.lax.psum(b2.force, axis),
+                                torque=jax.lax.psum(b2.torque, axis))
+                new_bodies = step_bodies(
+                    specs, b2, gravity_at(t + dt * 0.5), t + dt * 0.5, dt)
+                new = apply_body_motion(specs, new, new_bodies, dt)
+            else:
+                new_bodies = bodies
             new = halo_refresh(new)
             if adaptive:
                 local_dt = compute_dt(fw, f2)
                 new_dt = jax.lax.pmin(local_dt, axis)
             else:
                 new_dt = dt
-            return (new, new_dt, t + dt), None
+            return (new, new_dt, t + dt, new_bodies), None
 
-        (comb, dt, t), _ = jax.lax.scan(
-            pc_step, (comb, dt, t), iters + jnp.arange(nsteps)
+        (comb, dt, t, bodies), _ = jax.lax.scan(
+            pc_step, (comb, dt, t, bodies), iters + jnp.arange(nsteps)
         )
 
         # drop ghosts, return local block
@@ -471,17 +544,19 @@ def make_sharded_chunk(
                 (ex_overflow | cap_overflow).astype(jnp.int32), axis
             ),
         )
-        return out, dt, t, iters + nsteps, stats
+        return out, dt, t, iters + nsteps, bodies, stats
 
     pspec = ParticleState(
         pos=P("d"), vel=P("d"), rho=P("d"), mass=P("d"), info=P("d"), id=P("d"),
-        extras={},
+        extras={k: P("d") for k in extras_keys},
     )
+    bspec = BodiesState(cg=P(), quat=P(), linvel=P(), angvel=P(),
+                        force=P(), torque=P())
     mapped = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(pspec, P(), P(), P()),
-        out_specs=(pspec, P(), P(), P(), ShardStats(
+        in_specs=(pspec, P(), P(), P(), bspec),
+        out_specs=(pspec, P(), P(), P(), bspec, ShardStats(
             max_occupancy=P(), n_active=P(), dt=P(), overflow=P())),
         check_vma=False,
     )
@@ -532,7 +607,7 @@ def shard_state(dd: Decomposition, mesh: Mesh, fw: SimFramework,
                 np.full(pad, int(ParticleType.NONE), np.uint32),
             ]),
             id=take(state.id),
-            extras={},
+            extras={k: take(v) for k, v in state.extras.items()},
         )
         blocks.append(blk)
 

@@ -1635,3 +1635,83 @@ class SolitaryWave(Problem):
         self.add_plane((h_length, 0, 0),
                        (-math.sin(beta), 0.0, math.cos(beta)))
         self.set_water_level(H)
+
+
+class DEMExample(Problem):
+    """Fluid released over a DEM terrain (reference
+    `src/problems/DEMExample.cu`): LJ boundary + ENABLE_DEM geometry force
+    + side planes; water box of given height above the terrain.
+
+    Uses the reference's GRASS-ASCII DEM format via ``--dem path``; without
+    a file, generates the equivalent half-wave hill procedurally (the
+    reference ships `half_wave0.1m.txt`: a 43.3 x 13.4 m swath rising from
+    ~0.05 m to ~1 m over a half sine)."""
+
+    name = "DEMExample"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        from ..ops.dem import load_dem_ascii, pack_dem
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.LJ_BOUNDARY,
+            rheology=RheologyType.INVISCID,
+            turbulence_model=TurbulenceModel.ARTIFICIAL,
+            flags=SimFlags.ENABLE_DTADAPT,
+            simparams=SimParams(dtadaptfactor=0.3),
+        )
+        self.set_deltap(self.get_option("deltap", 0.05))
+        dp = self.deltap
+
+        dem_file = self.options.get("dem")
+        if dem_file:
+            dem = load_dem_ascii(dem_file)
+        else:
+            # procedural half-wave hill (like the stock DEM, coarser)
+            west, south = 0.05, -0.2
+            east, north = 6.0, 2.0
+            cols, rows = 120, 44
+            ew = (east - west) / cols
+            ns = (north - south) / rows
+            x = west + ew * (np.arange(cols) + 0.5)
+            y = south + ns * (np.arange(rows) + 0.5)
+            X, Y = np.meshgrid(x, y)
+            h = 0.05 + 0.95 * np.clip(np.sin(
+                np.clip((X - 1.0) / 4.0, 0.0, 1.0) * math.pi / 2), 0, 1)
+            dem = pack_dem(h, x[0], y[0], ew, ns)
+        from ..ops.dem import unpack_dem
+
+        hgrid, west, south, ew, ns = unpack_dem(dem)
+        east = west + ew * (hgrid.shape[1] - 1)
+        north = south + ns * (hgrid.shape[0] - 1)
+        zmax = float(hgrid.max())
+        water_height = self.get_option("water_height", 0.8)
+
+        self.fw = dataclasses_replace(
+            self.fw, dem=dem, flags=self.fw.flags | SimFlags.ENABLE_DEM)
+        self.set_gravity(-9.81)
+        self.set_max_fall(2.0)
+        fl = self.add_fluid(1000.0)
+        self.set_equation_of_state(fl, 7.0, 10 * math.sqrt(9.81 * 2.0))
+        self.add_writer(freq=0.1)
+        self.set_tend(self.get_option("tend", 5.0))
+
+        self.make_universe_box((west, south, 0.0),
+                               (east - west, north - south, zmax + 2.0))
+        # water box above the terrain: fill then erase below the surface
+        pts = geo.fill_box((west + dp, south + dp, dp / 2),
+                           (east - west - 2 * dp, north - south - 2 * dp,
+                            water_height), dp)
+        from ..ops.dem import dem_height_normal
+        import jax.numpy as jnp
+
+        z0, _ = dem_height_normal(dem, jnp.asarray(pts, jnp.float32))
+        keep = pts[:, 2] > np.asarray(z0) + dp
+        self.add_points(GeometryType.FLUID, pts[keep])
+        # side walls as planes (addDEMPlanes)
+        self.add_plane((west, south, 0), (1, 0, 0))
+        self.add_plane((east, north, 0), (-1, 0, 0))
+        self.add_plane((west, south, 0), (0, 1, 0))
+        self.add_plane((east, north, 0), (0, -1, 0))
+        self.set_water_level(water_height)

@@ -40,14 +40,14 @@ def test_sharded_matches_single(small_problem):
     # single-device trajectory
     from gpusph_tpu.bodies import init_bodies_state
 
+    b0 = init_bodies_state((), state)
     chunk1 = make_sim_chunk(fw, grid, use_pallas=False)
     s1, dt1, t1, it1, _, stats1 = chunk1(
-        state, jnp.float32(1e-4), jnp.float32(0.0), jnp.int32(0),
-        init_bodies_state((), state),
+        state, jnp.float32(1e-4), jnp.float32(0.0), jnp.int32(0), b0,
     )
     chunkN = make_sharded_chunk(fw, dd, mesh, use_pallas=False)
-    sN, dtN, tN, itN, statsN = chunkN(
-        sh_state, jnp.float32(1e-4), jnp.float32(0.0), jnp.int32(0)
+    sN, dtN, tN, itN, _, statsN = chunkN(
+        sh_state, jnp.float32(1e-4), jnp.float32(0.0), jnp.int32(0), b0,
     )
 
     assert int(statsN.overflow) == 0
@@ -90,12 +90,13 @@ def test_sharded_multiple_chunks(small_problem):
 
     s1, sN = state, sh
     b1 = init_bodies_state((), state)
+    bN = init_bodies_state((), state)
     dt1 = dtN = jnp.float32(1e-4)
     t1 = tN = jnp.float32(0.0)
     it1 = itN = jnp.int32(0)
     for _ in range(3):
         s1, dt1, t1, it1, b1, _ = chunk1(s1, dt1, t1, it1, b1)
-        sN, dtN, tN, itN, statsN = chunkN(sN, dtN, tN, itN)
+        sN, dtN, tN, itN, bN, statsN = chunkN(sN, dtN, tN, itN, bN)
         assert int(statsN.overflow) == 0
 
     act1 = np.asarray(s1.active)
@@ -129,3 +130,65 @@ def test_balanced_slab_bounds(small_problem):
                 0, grid.ncells[sa] - 1)
     per = [((k >= bounds[d]) & (k < bounds[d + 1])).sum() for d in range(4)]
     assert max(per) <= 2.5 * (sum(per) / 4 + 1)
+
+
+def _traj_compare(P, ndev=4, nchunks=1, atol_pos=1e-5):
+    """1-dev vs ndev-dev trajectory equality for a built problem."""
+    grid, state = P.grid_state if hasattr(P, "grid_state") else P.build()
+    fw = P.fw.finalize()
+    specs = P.body_specs()
+    from gpusph_tpu.bodies import init_bodies_state
+
+    dd = make_decomposition(grid, ndev, int(state.count_active()), state=state)
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("d",))
+    sh = shard_state(dd, mesh, fw, state)
+    b0 = init_bodies_state(specs, state)
+
+    chunk1 = make_sim_chunk(fw, grid, use_pallas=False, bodies_specs=specs)
+    chunkN = make_sharded_chunk(fw, dd, mesh, use_pallas=False,
+                                bodies_specs=specs,
+                                extras_keys=tuple(state.extras))
+    s1, sN = state, sh
+    b1 = bN = b0
+    dt1 = dtN = jnp.float32(1e-4)
+    t1 = tN = jnp.float32(0.0)
+    it1 = itN = jnp.int32(0)
+    for _ in range(nchunks):
+        s1, dt1, t1, it1, b1, _ = chunk1(s1, dt1, t1, it1, b1)
+        sN, dtN, tN, itN, bN, statsN = chunkN(sN, dtN, tN, itN, bN)
+        assert int(statsN.overflow) == 0
+
+    act1 = np.asarray(s1.active)
+    actN = np.asarray(sN.active)
+    assert act1.sum() == actN.sum()
+    ids1 = np.asarray(s1.id)[act1]
+    idsN = np.asarray(sN.id)[actN]
+    o1, oN = np.argsort(ids1), np.argsort(idsN)
+    np.testing.assert_array_equal(ids1[o1], idsN[oN])
+    np.testing.assert_allclose(
+        np.asarray(sN.pos)[actN][oN], np.asarray(s1.pos)[act1][o1],
+        atol=atol_pos,
+    )
+    return b1, bN
+
+
+def test_sharded_bodies_dambreak():
+    """DamBreak3D with its feedback obstacle: the flagship problem's bodies
+    pipeline (per-device force reduction + psum) matches single-device."""
+    P = get_problem("DamBreak3D")(dict(deltap=0.08))
+    b1, bN = _traj_compare(P, ndev=4, nchunks=1)
+    np.testing.assert_allclose(
+        np.asarray(bN.force), np.asarray(b1.force), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sharded_grenier():
+    """Grenier formulation multi-device (sigma halo exchange)."""
+    P = get_problem("LockExchange")(dict(deltap=0.02))
+    _traj_compare(P, ndev=4, nchunks=1, atol_pos=1e-5)
+
+
+def test_sharded_granular():
+    """Granular rheology multi-device (effpres halo per Jacobi iteration)."""
+    P = get_problem("LithostaticLJ")(dict(deltap=0.1, jacobi_maxiter=40))
+    _traj_compare(P, ndev=2, nchunks=1, atol_pos=1e-5)
