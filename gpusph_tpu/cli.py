@@ -79,6 +79,14 @@ def main(argv=None):
     n = int(state.count_active())
     print(f"Problem {problem.name}: {n} particles, grid {grid.ncells}")
 
+    debug_flags = set(f for f in args.debug.split(",") if f)
+    if "timing" in debug_flags:
+        # per-phase wall-time accounting (the reference's
+        # --debug benchmark_command_runtimes, GPUSPH.cc:108-131)
+        from .profiling import phase_report
+
+        phase_report(fw, grid, state, bodies_specs=problem.body_specs())
+
     if args.repack or args.repack_only:
         from .repacking import run_repacking
 

@@ -95,6 +95,7 @@ class CommonWriter:
         self.outdir = outdir
         os.makedirs(outdir, exist_ok=True)
         self.fw = fw
+        self._write_summary()
         self.gages = list(gages)
         self._energy = open(os.path.join(outdir, "energy.txt"), "w")
         self._energy.write("# time kinetic potential internal\n")
@@ -131,6 +132,25 @@ class CommonWriter:
         self._rb.flush()
         self._objf.flush()
 
+    def _write_summary(self):
+        """Dump every framework/simulation/physical option (the reference's
+        CommonWriter summary file, `src/writers/CommonWriter.cc`)."""
+        import dataclasses
+
+        fw = self.fw
+        with open(os.path.join(self.outdir, "summary.txt"), "w") as f:
+            f.write("# gpusph_tpu run summary\n")
+            for name in ("kerneltype", "sph_formulation", "boundarytype",
+                         "densitydiffusiontype", "periodicbound", "flags"):
+                f.write(f"{name} = {getattr(fw, name)!r}\n")
+            f.write(f"visc = {fw.visc!r}\n")
+            f.write(f"filters = {fw.filters!r}\n")
+            f.write(f"postprocess = {fw.postprocess!r}\n")
+            for section, obj in (("simparams", fw.sp), ("physparams", fw.pp)):
+                f.write(f"[{section}]\n")
+                for fld in dataclasses.fields(obj):
+                    f.write(f"  {fld.name} = {getattr(obj, fld.name)!r}\n")
+
     def write_testpoints(self, time: float, state: ParticleState, post):
         """Interpolated velocity/pressure at TESTPOINT particles
         (calcTestpointsVelocityDevice output; reference dumps these rows in
@@ -154,16 +174,17 @@ class CommonWriter:
         self._tp.flush()
 
     def write(self, time: float, state: ParticleState):
-        import jax.numpy as jnp
-
-        fluid = is_fluid(state.info) & state.active
-        m = jnp.where(fluid, state.mass, 0.0)
-        v2 = jnp.sum(state.vel * state.vel, axis=1)
-        ekin = 0.5 * jnp.sum(m * v2)
-        g = np.asarray(self.fw.pp.gravity)
-        epot = -jnp.sum(m * (state.pos @ jnp.asarray(g, jnp.float32)))
+        # float64 host reductions: order-stable, more accurate than the
+        # reference's Kahan-compensated f32 sums (src/kahan.h)
+        fluid = np.asarray(is_fluid(state.info) & state.active)
+        m = np.where(fluid, np.asarray(state.mass, np.float64), 0.0)
+        vel = np.asarray(state.vel, np.float64)
+        pos = np.asarray(state.pos, np.float64)
+        ekin = 0.5 * float((m * (vel * vel).sum(axis=1)).sum())
+        g = np.asarray(self.fw.pp.gravity, np.float64)
+        epot = -float((m * (pos @ g)).sum())
         u = state.extra("energy")
-        eint = float(jnp.sum(m * u)) if u is not None else 0.0
+        eint = float((m * np.asarray(u, np.float64)).sum()) if u is not None else 0.0
         self._energy.write(
             f"{time:.9g}\t{float(ekin):.9g}\t{float(epot):.9g}\t{eint:.9g}\n"
         )
