@@ -11,6 +11,9 @@ fits the attached chip, plus the neighbor-rebuild share.
 """
 import json
 import os
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 import sys
 import time
 

@@ -17,6 +17,10 @@ import os
 import sys
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
 
 def parse_args(argv):
     ap = argparse.ArgumentParser(prog="gpusph_tpu", description=__doc__)

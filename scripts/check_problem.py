@@ -15,6 +15,9 @@ Usage:
 import argparse
 import json
 import os
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -34,10 +37,29 @@ REF_DIR = os.path.join(
 )
 
 DEFAULT_PROBLEMS = {
+    # the full catalog at regression-friendly sizes
     "DamBreak3D": dict(deltap=0.04, max_ppc=64),
     "StillWater": dict(ppH=10, max_ppc=56),
     "Poiseuille": dict(ppH=12),
     "LockExchange": dict(ppH=12, max_ppc=64),
+    "WaveTank": dict(deltap=0.04),
+    "OpenChannel": dict(deltap=0.05),
+    "BuoyancyTest": dict(deltap=0.04),
+    "DamBreakGate": dict(deltap=0.04),
+    "Spheric2": dict(deltap=0.05),
+    "RTInstability": dict(deltap=0.04),
+    "Bubble": dict(deltap=0.05),
+    "DamBreakMobileBed": dict(deltap=0.02, jacobi_maxiter=60),
+    "Seiche": dict(deltap=0.05),
+    "StillWaterSA": dict(ppH=10, max_ppc=88),
+    "TurbulentPoiseuilleFlowSA": dict(deltap=0.1),
+    "LithostaticLJ": dict(deltap=0.1, jacobi_maxiter=60),
+    "LithostaticDYN": dict(deltap=0.1, jacobi_maxiter=60),
+    "BiFluidPoiseuille": dict(deltap=0.1),
+    "PoiseuillePapanastasiou": dict(ppH=12),
+    "AccuracyTest": dict(deltap=0.05),
+    "SolitaryWave": dict(deltap=0.04),
+    "DEMExample": dict(deltap=0.15),
 }
 
 
@@ -67,8 +89,13 @@ def run_problem(name, opts, maxiter):
 
 def check(name, opts, maxiter, make_reference, rtol, atol):
     import numpy as np
+    import jax
 
-    path = os.path.join(REF_DIR, f"{name}_{maxiter}.npz")
+    # golden refs are backend-specific (the reference regenerates per
+    # GPU/build; we key the fingerprint on the XLA backend)
+    backend = jax.default_backend()
+    suffix = "" if backend == "cpu" else f"_{backend}"
+    path = os.path.join(REF_DIR, f"{name}_{maxiter}{suffix}.npz")
     result = run_problem(name, opts, maxiter)
     if make_reference or not os.path.exists(path):
         os.makedirs(REF_DIR, exist_ok=True)

@@ -7,6 +7,9 @@ The analogue of the reference's `--debug benchmark_command_runtimes`
 chunk) so perf work targets the real bottleneck.
 """
 import os
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 import sys
 import time
 
