@@ -1715,3 +1715,121 @@ class DEMExample(Problem):
         self.add_plane((west, south, 0), (0, 1, 0))
         self.add_plane((east, north, 0), (0, -1, 0))
         self.set_water_level(water_height)
+
+
+class OffshorePile(Problem):
+    """Wave loading on a cylindrical pile over a sloped beach (reference
+    `src/problems/OffshorePile.cu`): periodic-y wave flume with a
+    sinusoidal piston wavemaker (stroke 0.399 m, T = 2.4 s), 1:40 slope
+    after a 4.5 m flat bottom, feedback cylinder (d = 0.2 m) at the 0.4 m
+    depth mark with wave gages around it.
+
+    Domain length scales with --lx (reference 60 m; default shortened to
+    keep the catalog run tractable)."""
+
+    name = "OffshorePile"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        lx = self.get_option("lx", 24.0)
+        ly = 1.5
+        H = 1.0
+        tan_beta = 0.025
+        h_length = 4.5
+        layers = 3
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            rheology=RheologyType.NEWTONIAN,
+            turbulence_model=TurbulenceModel.LAMINAR_FLOW,
+            visc_model=ViscousModel.MORRIS,
+            periodicity=Periodicity.Y,
+            filters={FilterType.SHEPARD: 20},
+            simparams=SimParams(dtadaptfactor=0.2),
+        )
+        from ..defs import PostProcessType
+
+        self.add_postprocess(PostProcessType.SURFACE_DETECTION)
+        self.set_deltap(self.get_option("deltap", 0.05))
+        dp = self.deltap
+        self.set_timestep(0.00013)
+        self.set_tend(self.get_option("tend", 120.0))
+        self.set_gravity(-9.81)
+        self.set_max_fall(H)
+        fl = self.add_fluid(1000.0)
+        self.set_equation_of_state(fl, 7.0, 40.0)
+        self.set_kinematic_visc(fl, 1.0e-6)
+        self.set_water_level(H)
+        self.add_writer(freq=1.0)
+
+        x0 = -1.0
+        off_y = dp / 2
+        wall = layers * dp
+        self.make_universe_box((x0, 0.0, -1.5 * wall),
+                               (lx - x0, ly + dp, 3.0 + 1.5 * wall))
+
+        # fluid: columns following the bathymetry (flat + 1:40 slope)
+        cols = []
+        x = dp / 2
+        while x < lx - dp:
+            bottom = 0.0 if x <= h_length else (x - h_length) * tan_beta
+            if bottom + dp / 2 < H:
+                zs = np.arange(bottom + dp / 2, H, dp)
+                for z in zs:
+                    cols.append((x, z))
+            x += dp
+        ys = np.arange(off_y, ly + off_y - dp / 4, dp)
+        pts = np.asarray([(cx, y, z) for (cx, z) in cols for y in ys])
+        self.add_points(GeometryType.FLUID, pts)
+
+        # bottom boundary: flat + slope, 'layers' deep
+        bpts = []
+        x = x0 + dp / 2
+        while x < lx:
+            bottom = 0.0 if x <= h_length else (x - h_length) * tan_beta
+            for k in range(1, layers + 1):
+                for y in ys:
+                    bpts.append((x, y, bottom - k * dp))
+            x += dp
+        self.add_points(GeometryType.FIXED_BOUNDARY, np.asarray(bpts))
+        # far wall
+        zfw0 = (lx - h_length) * tan_beta if lx > h_length else 0.0
+        self.add_points(
+            GeometryType.FIXED_BOUNDARY,
+            geo.fill_box((lx - (layers - 1) * dp, off_y, zfw0 - layers * dp),
+                         ((layers - 1) * dp, ly - dp, H + layers * dp), dp),
+        )
+
+        # piston wavemaker (index 1): (layers-1)*dp thick plate
+        piston = self.add_points(
+            GeometryType.MOVING_BODY,
+            geo.fill_box((-(layers + 0.5) * dp, off_y, -dp),
+                         ((layers - 1) * dp, ly - dp, 2 * H), dp),
+        )
+        amp = 0.399 / 2.0
+        omega = 2.0 * math.pi / 2.4
+        tstart = 0.2
+        import jax.numpy as jnp
+
+        def piston_motion(t):
+            on = t >= tstart
+            vx = jnp.where(on, -amp * omega * jnp.sin(omega * (t - tstart)), 0.0)
+            return (vx, jnp.zeros_like(vx), jnp.zeros_like(vx)), (0.0, 0.0, 0.0)
+
+        self.set_body_motion(piston, piston_motion)
+
+        # feedback cylinder at the 0.4 m depth mark
+        cyl_x = h_length + 0.4 / tan_beta
+        if cyl_x < lx - 1.0:
+            self.add_cylinder(
+                GeometryType.MOVING_BODY, FillType.BORDER,
+                (cyl_x, ly / 2, 0.0), (0.2 - dp) / 2, 2 * H,
+                feedback=True,
+            )
+        # wave gages (OffshorePile.cu:88-99)
+        sl = self.fw.sp.slength
+        for z in (0.0, sl, 0.5 * sl, 0.25 * sl, 2 * sl):
+            self.add_gage(min(cyl_x, lx - 1.0), ly / 2 + off_y + 0.5)
+        for xg in (1.0, h_length, h_length * 3 / 4, h_length / 2, h_length / 4):
+            self.add_gage(xg, ly / 2 + off_y)
