@@ -79,6 +79,9 @@ class SimFramework:
     # DEM terrain descriptor (ENABLE_DEM): packed hashable height field,
     # see ops/dem.pack_dem (reference TopoCube + geom_core.cu DEM force)
     dem: Optional[tuple] = None
+    # open-boundary spec (ENABLE_INLET_OUTLET): ops/io_boundary.IOSpec with
+    # the problem's imposed velocity/pressure callbacks + outflow region
+    io: Optional[tuple] = None
     # variable gravity: traceable t -> (gx, gy, gz), evaluated inside the
     # jitted step before each forces pass (the reference's per-iteration
     # ProblemCore::g_callback, `src/ProblemCore.h:539` + simparams gcallback;
@@ -213,6 +216,10 @@ def setup_framework(**kwargs) -> SimFramework:
         "periodicity": "periodicbound",
     }
     for k, v in kwargs.items():
+        if k == "filters" and isinstance(v, dict):
+            # accept {FilterType: freq} (reference addFilter style) as well
+            # as ((FilterType, freq), ...)
+            v = tuple(v.items())
         mapped[rename.get(k, k)] = v
     if visc_kwargs:
         mapped["visc"] = ViscSpec(**visc_kwargs)

@@ -41,7 +41,7 @@ def box_sa_mesh(
     size: Tuple[float, float, float],
     dp: float,
     *,
-    faces: str = "all",  # "all" or "open_top"
+    faces: str = "all",  # "all", "open_top" or "channel"
 ) -> Dict[str, np.ndarray]:
     """SA mesh of an axis-aligned box with inward normals.
 
@@ -69,6 +69,10 @@ def box_sa_mesh(
     ]
     if faces == "open_top":
         face_defs = [face_defs[0]] + face_defs[2:]
+    elif faces == "channel":
+        # bottom + the two y walls: open top AND open x ends (for
+        # inlet/outlet plates added separately as IO meshes)
+        face_defs = [face_defs[0], face_defs[4], face_defs[5]]
 
     all_pts = []
     all_tris = []  # (i0, i1, i2) into the concatenated point list

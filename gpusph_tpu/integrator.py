@@ -108,11 +108,12 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
     granular = fw.visc.rheologytype == RheologyType.GRANULAR
     sa = fw.sa_boundary
 
-    def prep(state, aux):
+    def prep(state, aux, t=None):
         """Pre-forces phases: Grenier COMPUTE_DENSITY, the granular EFFPRES
         Jacobi solve (PredictorCorrectorIntegrator.cc:1060-1185) and the SA
         gamma + boundary-condition passes (SA_CALC_*_BOUNDARY_CONDITIONS,
-        PredictorCorrectorIntegrator.cc:121-305).
+        PredictorCorrectorIntegrator.cc:121-305) incl. open-boundary
+        imposition.
         Returns the refreshed state (+ Grenier sigma, + SA gamma)."""
         sigma = None
         gamma = None
@@ -132,22 +133,28 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
         if sa:
             from .ops.sa import compute_gamma, impose_boundary_conditions
 
+            if fw.io is not None:
+                from .ops.io_boundary import impose_io_values
+
+                state = impose_io_values(
+                    fw, fw.io, state,
+                    t if t is not None else jnp.float32(0.0))
             gamma, _ = compute_gamma(fw, grid, state, aux,
                                      chunk_cells=chunk_cells)
             state = impose_boundary_conditions(
-                fw, grid, state, aux, gamma, chunk_cells=chunk_cells)
+                fw, grid, state, aux, gamma, chunk_cells=chunk_cells, t=t)
         return state, sigma, gamma
 
     if use_pallas:
         def forces(state, aux, dt, t, table=None):
-            state, _, _ = prep(state, aux)
+            state, _, _ = prep(state, aux, t)
             sps_tau, effvisc = calc_visc(state, aux)
             return compute_forces_pallas(fw, grid, state, aux, dt=dt,
                                          sps_tau=sps_tau, effvisc=effvisc,
                                          table=table), state
     else:
         def forces(state, aux, dt, t, table=None):
-            state, sigma, gamma = prep(state, aux)
+            state, sigma, gamma = prep(state, aux, t)
             sps_tau, effvisc = calc_visc(state, aux)
             return compute_forces(fw, grid, state, aux, dt=dt,
                                   chunk_cells=chunk_cells,
@@ -184,6 +191,11 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
             new_state = apply_body_motion(specs, new_state, new_bodies, dt)
         else:
             new_bodies = bodies
+
+        if fw.io is not None:
+            from .ops.io_boundary import kill_outflow
+
+            new_state = kill_outflow(fw.io, new_state)
 
         new_dt = compute_dt(fw, f2) if adaptive else dt
         return (new_state, new_dt, t + dt, new_bodies, aux, table), (
@@ -250,6 +262,8 @@ class Simulator:
         self.particle_steps = 0
         self.elapsed = 0.0
         self.bodies = None  # BodiesState, created at run() from the state
+        self._vmass = None  # open-boundary vertex-mass accumulator
+        self._next_id = 0
 
     def initial_dt(self, state: ParticleState):
         """Initial dt: 0.1 h/c0 like the reference default when dt not set."""
@@ -282,16 +296,34 @@ class Simulator:
         if self.bodies is None:
             self.bodies = init_bodies_state(self.bodies_specs, state)
 
+        # open boundaries: vertex-mass accumulator + id allocator for the
+        # host-side inlet particle creation (CHECK_NEWNUMPARTS cadence)
+        io = self.fw.io
+        if io is not None and self._vmass is None:
+            import numpy as np
+
+            self._vmass = np.zeros(state.capacity, np.float64)
+            self._next_id = int(jax.device_get(state.id).max()) + 1
+
         if on_write is not None:
             on_write(self, state)
 
         while True:
+            t_before = float(t)
             t0 = time.perf_counter()
             state, dt, t, iters, self.bodies, stats = self._chunk(
                 state, dt, t, iters, self.bodies
             )
             stats = jax.device_get(stats)
             self.elapsed += time.perf_counter() - t0
+
+            if io is not None and io.imposed_vel is not None:
+                from .ops.io_boundary import inlet_create_host
+
+                state, self._vmass, self._next_id, _ = inlet_create_host(
+                    self.fw, io, state, self._vmass,
+                    float(t) - t_before, float(t), self._next_id,
+                )
 
             self._check(stats)
             self.iterations = int(iters)

@@ -113,6 +113,22 @@ class CommonWriter:
             self._objf.write("# time body fx fy fz tx ty tz\n")
         else:
             self._rb = self._objf = None
+        # volumetric flux through open boundaries (reference IOflux.txt,
+        # CommonWriter.cc) -- written when FLUX_COMPUTATION post-process on
+        from ..defs import PostProcessType as _PPT
+
+        if _PPT.FLUX_COMPUTATION in fw.postprocess:
+            self._ioflux = open(os.path.join(outdir, "IOflux.txt"), "w")
+            self._ioflux.write("# time inlet_flux outlet_flux\n")
+        else:
+            self._ioflux = None
+
+    def write_ioflux(self, time: float, post):
+        if self._ioflux is None or not post or "IOflux" not in post:
+            return
+        q = np.asarray(post["IOflux"])
+        self._ioflux.write(f"{time:.9g} {q[0]:.6e} {q[1]:.6e}\n")
+        self._ioflux.flush()
 
     def write_bodies(self, time: float, bodies):
         if self._rb is None or bodies is None:
@@ -248,6 +264,7 @@ class WriterDispatcher:
             post = self._post_fn(state)
             if "TestpointPress" in post:
                 self.common.write_testpoints(time, state, post)
+            self.common.write_ioflux(time, post)
         for writer, every, next_t in self.writers:
             if force or time + 1e-12 >= next_t[0]:
                 if arrays is None:

@@ -220,12 +220,39 @@ def make_write_postprocess(fw: SimFramework, grid: CellGrid, *,
                 fw, grid, sstate, aux, chunk_cells=chunk_cells)
             out["Info"] = info[inv]
             out["Normals"] = normals[inv]
+        if PostProcessType.FLUX_COMPUTATION in pps:
+            out["IOflux"] = io_flux(fw, state)
         return out
 
     return run
 
 
+def io_flux(fw, state):
+    """Volumetric flux through each open boundary (reference
+    FLUX_COMPUTATION, `src/cuda/post_process.cu:79-489` / IOflux.txt in
+    `CommonWriter.cc`): sum over IO boundary elements of (u . n) * A,
+    reported as [inlet_flux, outlet_flux] in m^3/s."""
+    from ..state import (FG_INLET, FG_OUTLET, has_flag, is_active, part_type)
+    from ..defs import ParticleType
+
+    info = state.info
+    seg = (part_type(info) == ParticleType.BOUNDARY) & is_active(info)
+    if not all(k in state.extras for k in ("vr0", "vr1", "vr2", "belem")):
+        return jnp.zeros(2, jnp.float32)
+    v0 = state.extras["vr0"]
+    v1 = state.extras["vr1"]
+    v2 = state.extras["vr2"]
+    area = 0.5 * jnp.linalg.norm(jnp.cross(v1 - v0, v2 - v0), axis=-1)
+    un = jnp.einsum("ij,ij->i", state.vel, state.extras["belem"])
+    q = jnp.where(seg, un * area, 0.0)
+    return jnp.stack([
+        jnp.sum(jnp.where(has_flag(info, FG_INLET), q, 0.0)),
+        jnp.sum(jnp.where(has_flag(info, FG_OUTLET), q, 0.0)),
+    ]).astype(jnp.float32)
+
+
 __all__ = [
+    "io_flux",
     "vorticity",
     "testpoint_values",
     "surface_detection",

@@ -308,7 +308,7 @@ def compute_gamma(fw: SimFramework, grid: CellGrid, state: ParticleState,
 
 def impose_boundary_conditions(fw: SimFramework, grid: CellGrid,
                                state: ParticleState, aux: CellAux,
-                               gamma, *, chunk_cells: int = 256):
+                               gamma, *, chunk_cells: int = 256, t=None):
     """Impose wall density on segments and vertices from the fluid
     (saSegment/VertexBoundaryConditionsDevice fluid loops + impose_solid_bc).
 
@@ -337,6 +337,12 @@ def impose_boundary_conditions(fw: SimFramework, grid: CellGrid,
     if keps:
         fields["tke"] = state.extras["tke"]
         fields["eps"] = state.extras["eps"]
+    io_press = fw.io is not None and fw.io.imposed_press is not None
+    if io_press:
+        # PRES_IO rows also need the fluid velocity extrapolated onto the
+        # wall (the reference's eulerVel on pressure-driven open boundaries,
+        # boundary_conditions_kernel.cu:1336-1380)
+        fields.update(split_vec("vel", state.vel))
 
     FLUID = ParticleType.FLUID
 
@@ -366,6 +372,10 @@ def impose_boundary_conditions(fw: SimFramework, grid: CellGrid,
             # boundary_conditions_kernel.cu:1266-1270)
             out["sumtke"] = jnp.where(ok, n["tke"] * w, 0.0)
             out["sumeps"] = jnp.where(ok, n["eps"] * w, 0.0)
+        if io_press:
+            out["sumvx"] = jnp.where(ok, n["vel_x"] * w, 0.0)
+            out["sumvy"] = jnp.where(ok, n["vel_y"] * w, 0.0)
+            out["sumvz"] = jnp.where(ok, n["vel_z"] * w, 0.0)
         return out
 
     sums = neighbor_apply(
@@ -378,7 +388,30 @@ def impose_boundary_conditions(fw: SimFramework, grid: CellGrid,
     p_wall = sums["sumpWall"] / shepard
     rho_wall = eos.density_from_pressure(pp, p_wall, f_num)
     is_wall = (ptype == ParticleType.BOUNDARY) | (ptype == ParticleType.VERTEX)
+    if fw.io is not None:
+        # open boundaries: PRES_IO rows take the imposed pressure
+        # (impose_io_bc, boundary_conditions_kernel.cu:1336-1380); VEL_IO
+        # rows keep the fluid-extrapolated density
+        from ..state import FG_INLET, FG_OUTLET, FG_VELOCITY_DRIVEN, has_flag
+
+        io_row = is_wall & (
+            has_flag(state.info, FG_INLET) | has_flag(state.info, FG_OUTLET)
+        )
+        pres_row = io_row & ~has_flag(state.info, FG_VELOCITY_DRIVEN)
+        if fw.io.imposed_press is not None:
+            tt = t if t is not None else jnp.float32(0.0)
+            p_imp = fw.io.imposed_press(state.pos, tt)
+            rho_wall = jnp.where(
+                pres_row, eos.density_from_pressure(pp, p_imp, f_num),
+                rho_wall,
+            )
     new_rho = jnp.where(is_wall, rho_wall, state.rho)
+    new_vel = state.vel
+    if fw.io is not None and fw.io.imposed_press is not None:
+        v_ext = jnp.stack(
+            [sums["sumvx"], sums["sumvy"], sums["sumvz"]], axis=-1
+        ) / shepard[:, None]
+        new_vel = jnp.where(pres_row[:, None], v_ext, state.vel)
     if keps:
         extras = dict(state.extras)
         extras["tke"] = jnp.where(
@@ -386,8 +419,8 @@ def impose_boundary_conditions(fw: SimFramework, grid: CellGrid,
         extras["eps"] = jnp.where(
             is_wall, jnp.maximum(sums["sumeps"] / shepard, 1e-5),
             state.extras["eps"])
-        return state.replace(rho=new_rho, extras=extras)
-    return state.replace(rho=new_rho)
+        return state.replace(rho=new_rho, vel=new_vel, extras=extras)
+    return state.replace(rho=new_rho, vel=new_vel)
 
 
 __all__ = [

@@ -114,6 +114,7 @@ class Problem:
         self.vtk_write_every = 0.0
         self.body_motion: Dict[int, Callable] = {}  # object_idx -> motion cb
         self.sa_meshes: List[dict] = []  # SA boundary meshes (sa_mesh dicts)
+        self.inlet_reserve: int = 0  # spare slots for inlet-created parts
 
     def __init_subclass__(cls, **kw):
         super().__init_subclass__(**kw)
@@ -289,6 +290,20 @@ class Problem:
     def add_plane(self, point, normal):
         self.planes.append(Plane(tuple(point), tuple(normal)))
 
+    def set_io(self, *, imposed_vel=None, imposed_press=None, outflow=None):
+        """Open-boundary conditions (reference imposeBoundaryConditionHost /
+        the problem's IO device callbacks): traceable ``imposed_vel(pos, t)``
+        / ``imposed_press(pos, t)`` + ``outflow(pos)`` kill region."""
+        from ..defs import SimFlags
+        from ..ops.io_boundary import IOSpec
+
+        self.fw = dataclasses.replace(
+            self.fw,
+            io=IOSpec(imposed_vel=imposed_vel, imposed_press=imposed_press,
+                      outflow=outflow),
+            flags=self.fw.flags | SimFlags.ENABLE_INLET_OUTLET,
+        )
+
     def add_sa_box(self, origin, size, *, faces="all"):
         """SA boundary box: vertex particles + triangular boundary elements
         (the procedural equivalent of the reference's Crixus HDF5 input,
@@ -296,6 +311,20 @@ class Problem:
         from ..geometry.sa_mesh import box_sa_mesh
 
         mesh = box_sa_mesh(origin, size, self.deltap, faces=faces)
+        self.sa_meshes.append(mesh)
+        return len(self.sa_meshes) - 1
+
+    def add_sa_plate(self, origin, u_vec, v_vec, normal, *, io=None,
+                     periodic_u=False, periodic_v=False):
+        """Single SA wall plate; ``io=("inlet", velocity_driven)`` /
+        ``("outlet", velocity_driven)`` marks it as an open boundary
+        (reference Crixus IO meshes, `ProblemAPI_1.cc` setInletOutlet)."""
+        from ..geometry.sa_mesh import plate_sa_mesh
+
+        mesh = plate_sa_mesh(origin, u_vec, v_vec, normal, self.deltap,
+                             periodic_u=periodic_u, periodic_v=periodic_v)
+        if io is not None:
+            mesh["io"] = io
         self.sa_meshes.append(mesh)
         return len(self.sa_meshes) - 1
 
@@ -367,7 +396,8 @@ class Problem:
                     (g.density or self.fw.pp.fluids[0].rho0) * self.deltap**3)
             total_mass = mass * n
             # crude inertia from the particle cloud (diagonal)
-            pts = g.points - g.points.mean(axis=0)
+            pts = (g.points - g.points.mean(axis=0)
+                   if len(g.points) else np.zeros((1, 3)))
             inertia = tuple(
                 float(mass * ((pts**2).sum() - (pts[:, a] ** 2).sum()))
                 for a in range(3)
@@ -595,6 +625,17 @@ class Problem:
         sa_rows = []  # (start, normals, vr or None)
         rho0_0 = self.fw.pp.fluids[0].rho0
         for mesh in self.sa_meshes:
+            # open-boundary meshes: FG_INLET/FG_OUTLET(+FG_VELOCITY_DRIVEN)
+            # on their vertex and segment rows (reference IO_BOUNDARY flags)
+            ioflag = np.uint32(0)
+            io_kind = mesh.get("io")
+            if io_kind:
+                from ..state import (FG_INLET as _FI, FG_OUTLET as _FO,
+                                     FG_VELOCITY_DRIVEN as _FV)
+
+                ioflag = np.uint32(_FI if io_kind[0] == "inlet" else _FO)
+                if io_kind[1]:
+                    ioflag |= np.uint32(_FV)
             nv = len(mesh["verts"])
             pos_list.append(mesh["verts"])
             vel_list.append(np.zeros((nv, 3)))
@@ -602,7 +643,8 @@ class Problem:
             # Crixus-style vertex mass: rho0 x the fluid-side Voronoi volume
             mass_list.append(rho0_0 * mesh["vert_volume"])
             info_list.append(
-                np.full(nv, np.uint32(int(ParticleType.VERTEX)), np.uint32)
+                np.full(nv, np.uint32(int(ParticleType.VERTEX)) | ioflag,
+                        np.uint32)
             )
             sa_rows.append((n_total, mesh["vert_normal"], None))
             n_total += nv
@@ -613,13 +655,14 @@ class Problem:
             rho_list.append(np.zeros(ns))
             mass_list.append(np.zeros(ns))
             info_list.append(
-                np.full(ns, np.uint32(int(ParticleType.BOUNDARY)), np.uint32)
+                np.full(ns, np.uint32(int(ParticleType.BOUNDARY)) | ioflag,
+                        np.uint32)
             )
             sa_rows.append((n_total, mesh["seg_normal"], mesh["seg_verts"]))
             n_total += ns
 
         if capacity is None:
-            capacity = n_total
+            capacity = n_total + self.inlet_reserve
         extras = {}
         if self.sa_meshes:
             belem = np.zeros((capacity, 3), np.float32)

@@ -1833,3 +1833,93 @@ class OffshorePile(Problem):
             self.add_gage(min(cyl_x, lx - 1.0), ly / 2 + off_y + 0.5)
         for xg in (1.0, h_length, h_length * 3 / 4, h_length / 2, h_length / 4):
             self.add_gage(xg, ly / 2 + off_y)
+
+
+class ChannelIO(Problem):
+    """Open channel with a velocity-driven inlet and a pressure-driven
+    outlet (the reference's IO problems, e.g. `src/problems/IOWithoutWalls.cu`
+    and the LaPalisse/ChannelIO family): SA side/bottom walls, an inlet
+    plate at x=0 imposing a ramped uniform velocity, an outlet plate at
+    x=L imposing the hydrostatic pressure, and particle creation /
+    destruction at the open boundaries (theory `gpusph-theory.tex:798-980`).
+    """
+
+    name = "ChannelIO"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        L = self.get_option("length", 1.0)
+        W = self.get_option("width", 0.3)
+        h0 = self.get_option("water_height", 0.2)
+        U = self.get_option("velocity", 0.4)
+        self.L, self.h0, self.U = L, h0, U
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.SA_BOUNDARY,
+            rheology=RheologyType.INVISCID,
+            turbulence_model=TurbulenceModel.ARTIFICIAL,
+            density_diffusion=DensityDiffusionType.COLAGROSSI,
+            simparams=SimParams(densityDiffCoeff=0.1),
+        )
+        self.set_deltap(self.get_option("deltap", h0 / 8))
+        dp = self.deltap
+        self.set_gravity(-9.81)
+        self.set_max_fall(h0)
+        fl = self.add_fluid(1000.0)
+        c0 = 10.0 * max(U, math.sqrt(9.81 * h0))
+        self.set_equation_of_state(fl, 7.0, c0)
+        self.set_tend(self.get_option("tend", 2.0))
+        self.add_writer(freq=0.1)
+
+        h_box = h0 + 6 * dp
+        self.make_universe_box((-3 * dp, -2 * dp, -2 * dp),
+                               (L + 6 * dp, W + 4 * dp, h_box + 4 * dp))
+        # walls: bottom + both y sides; x ends stay open for the IO plates
+        self.add_sa_box((0.0, 0.0, 0.0), (L, W, h_box), faces="channel")
+        # inlet plate (inward normal +x), velocity-driven; edge-to-edge
+        # with the channel walls (gaps leak), spanning only the wetted
+        # height (dry inlet rows must not create particles; the reference
+        # gates this with its IO water-depth machinery,
+        # FIND_MAX_IOWATERDEPTH).  Spawns embedded in the side walls are
+        # rejected by the clearance guard in inlet_create_host.
+        self.add_sa_plate((0.0, 0.0, 0.0), (0.0, W, 0.0),
+                          (0.0, 0.0, h0),
+                          (1.0, 0.0, 0.0), io=("inlet", True))
+        # outlet plate (inward normal -x), pressure-driven, full height
+        self.add_sa_plate((L, 0.0, 0.0), (0.0, W, 0.0),
+                          (0.0, 0.0, h_box),
+                          (-1.0, 0.0, 0.0), io=("outlet", False))
+
+        import jax.numpy as jnp
+
+        rho0, g = 1000.0, 9.81
+        t_ramp = self.get_option("ramp", 0.2)
+
+        def imposed_vel(pos, t):
+            u = jnp.float32(U) * jnp.minimum(t / jnp.float32(t_ramp), 1.0)
+            z = jnp.zeros(pos.shape[0], pos.dtype)
+            return jnp.stack([jnp.full_like(z, u), z, z], axis=-1)
+
+        def imposed_press(pos, t):
+            return jnp.float32(rho0 * g) * jnp.maximum(
+                jnp.float32(h0) - pos[:, 2], 0.0)
+
+        def outflow(pos):
+            # SA fluid rests dp/2 off a wall: crossing that offset IS
+            # leaving through the outlet segment (findOutgoingSegment)
+            return pos[:, 0] > jnp.float32(L - 0.5 * dp)
+
+        self.set_io(imposed_vel=imposed_vel, imposed_press=imposed_press,
+                    outflow=outflow)
+        from ..defs import PostProcessType
+
+        self.add_postprocess(PostProcessType.FLUX_COMPUTATION)
+        # spare slots for inlet-created particles over the whole run
+        tend = self.fw.sp.tend or 2.0
+        self.inlet_reserve = int(1.5 * U * W * h0 / dp**3 * tend) + 64
+
+        wd = dp
+        self.add_box(GeometryType.FLUID, FillType.SOLID,
+                     (wd, wd, wd), L - 2 * wd, W - 2 * wd, h0 - wd)
+
