@@ -135,7 +135,7 @@ def compute_dt(fw: SimFramework, forces: ForcesOut):
     """Adaptive dt from the CFL maxima — ``dtreduce`` (`forces.cu:557-600`).
 
     dt = dtadaptfactor * min( sqrt(h/max|a|), h/max_c ), further bounded by
-    the viscous condition 0.125 h^2 / nu_max.
+    the viscous condition viscdtfactor * h^2 / nu_max.
     """
     sp = fw.sp
     h = jnp.float32(sp.slength)
@@ -143,7 +143,13 @@ def compute_dt(fw: SimFramework, forces: ForcesOut):
     dt_sound = h / jnp.maximum(forces.max_sspeed, 1e-12)
     dt = sp.dtadaptfactor * jnp.minimum(dt_force, dt_sound)
     if not fw.is_inviscid:
-        dt_visc = 0.125 * h * h / jnp.maximum(forces.max_kinvisc, 1e-12)
+        # the reference uses 0.125 h^2/nu ("TODO allow customization",
+        # forces.cu:596-597); the measured stability threshold of the
+        # explicit Morris operator under the predictor-corrector is
+        # ~0.06 h^2/nu (BiFluidPoiseuille, VALIDATION.md), so the default
+        # here is tighter and problem-adjustable via SimParams
+        dt_visc = sp.viscdtfactor * h * h / jnp.maximum(
+            forces.max_kinvisc, 1e-12)
         dt = jnp.minimum(dt, dt_visc)
     return dt
 

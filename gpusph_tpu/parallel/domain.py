@@ -252,6 +252,23 @@ def make_sharded_chunk(
 
     grenier = fw.sph_formulation == SPHFormulation.SPH_GRENIER
     granular = fw.visc.rheologytype == _Rheo.GRANULAR
+    # fail fast on a missing extras declaration (the chunk's in/out pytree
+    # is fixed at build time; a state with undeclared extras fails later
+    # with an opaque pytree mismatch)
+    needed = set()
+    if granular:
+        needed.add("effpres")
+    if fw.sa_boundary:
+        needed.update(("belem", "vr0", "vr1", "vr2"))
+    from ..defs import TurbulenceModel as _TM
+    if fw.visc.turbmodel == _TM.KEPSILON:
+        needed.update(("tke", "eps", "turbvisc"))
+    missing = needed - set(extras_keys)
+    if missing:
+        raise ValueError(
+            f"make_sharded_chunk: extras_keys is missing {sorted(missing)} "
+            f"required by this framework; pass extras_keys=tuple(state.extras)"
+        )
     specs = tuple(bodies_specs)
 
     if use_pallas is None:
@@ -452,7 +469,7 @@ def make_sharded_chunk(
 
         def exchange_field(a):
             """Per-field halo refresh (sigma / effpres exchanges)."""
-            (r_dn, r_up), = (exchange_tree((a,)),)
+            r_dn, r_up = exchange_tree((a,))[0]
             a = a.at[cap:cap + H].set(
                 jnp.where(ghost_dn_alive, r_dn, a[cap:cap + H]))
             a = a.at[cap + H:].set(

@@ -146,6 +146,7 @@ class SimParams:
     # time stepping
     dt: float = 0.0  # initial/fixed dt (0 -> derived in finalize())
     dtadaptfactor: float = 0.3  # CFL safety factor
+    viscdtfactor: float = 0.03  # explicit viscous-diffusion dt factor (h^2/nu)
     tend: float = 0.0  # simulated end time (0 = no limit)
     maxiter: int = 0  # max iterations (0 = no limit)
 

@@ -1837,11 +1837,13 @@ class OffshorePile(Problem):
 
 class ChannelIO(Problem):
     """Open channel with a velocity-driven inlet and a pressure-driven
-    outlet (the reference's IO problems, e.g. `src/problems/IOWithoutWalls.cu`
-    and the LaPalisse/ChannelIO family): SA side/bottom walls, an inlet
-    plate at x=0 imposing a ramped uniform velocity, an outlet plate at
-    x=L imposing the hydrostatic pressure, and particle creation /
-    destruction at the open boundaries (theory `gpusph-theory.tex:798-980`).
+    outlet (reference `src/problems/ChannelIO.cu:38-200`: SA walls from
+    Crixus meshes, `setVelocityDriven(inlet, 1)` / `(outlet, 0)`, imposed
+    BC callback `ChannelIO_imposeBoundaryCondition` — velocity U on the
+    VEL_IO rows, hydrostatic water-depth pressure on the PRES_IO rows).
+    Procedural SA meshes here; the reference's dynamic IO water-depth
+    reduction is simplified to the nominal still-water depth.  Creation /
+    destruction at the open boundaries per `gpusph-theory.tex:798-980`.
     """
 
     name = "ChannelIO"

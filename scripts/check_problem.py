@@ -16,7 +16,11 @@ import argparse
 import json
 import os
 import os
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+# CPU runs get their own cache: entries compiled via the remote TPU-host
+# toolchain carry CPU features this machine lacks (SIGILL on AOT load)
+_cache = "/root/.cache/jax_comp_cpu" if "--cpu" in __import__("sys").argv \
+    else "/root/.cache/jax_comp"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 import sys
 

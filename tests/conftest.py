@@ -14,7 +14,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+# separate CPU cache: entries compiled by the remote TPU-host toolchain
+# carry CPU features this machine lacks (SIGILL on AOT load)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
