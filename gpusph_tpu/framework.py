@@ -110,6 +110,11 @@ class SimFramework:
             raise ValueError("open boundaries require SA boundaries")
         if (self.flags & SimFlags.ENABLE_DENSITY_SUM) and self.boundarytype != BoundaryType.SA_BOUNDARY:
             raise ValueError("density summation requires SA boundaries")
+        if (self.flags & SimFlags.ENABLE_DENSITY_SUM) and (
+            self.flags & SimFlags.ENABLE_GAMMA_QUADRATURE
+        ):
+            # reference cudasimframework.cu invalid-combination check
+            raise ValueError("density summation is incompatible with gamma quadrature")
         if self.sph_formulation == SPHFormulation.SPH_GRENIER and self.boundarytype == BoundaryType.SA_BOUNDARY:
             raise ValueError("Grenier's formulation does not support SA boundaries")
         if self.sph_formulation == SPHFormulation.SPH_GRENIER:
@@ -178,6 +183,16 @@ class SimFramework:
     @property
     def repulsive_boundary(self) -> bool:
         return self.boundarytype in (BoundaryType.LJ_BOUNDARY, BoundaryType.MK_BOUNDARY)
+
+    @property
+    def dynamic_gamma(self) -> bool:
+        """USING_DYNAMIC_GAMMA (reference `src/simflags.h`): gamma carried as
+        per-particle state and integrated in time from grad-gamma fluxes
+        instead of re-quadratured each pass.  Density sum always implies it;
+        plain SA configs keep the quadrature engine unless they set
+        ENABLE_DENSITY_SUM (this build's conservative default — the
+        reference defaults to dynamic for all SA)."""
+        return self.sa_boundary and bool(self.flags & SimFlags.ENABLE_DENSITY_SUM)
 
     def finalize(self) -> "SimFramework":
         """Fill derived parameter defaults (see params.finalize_physparams)

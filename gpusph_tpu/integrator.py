@@ -32,7 +32,8 @@ from .bodies import (
     reduce_body_forces,
     step_bodies,
 )
-from .defs import RheologyType, SimFlags, SPHFormulation, TurbulenceModel
+from .defs import (DensityDiffusionType, RheologyType, SimFlags,
+                   SPHFormulation, TurbulenceModel)
 from .framework import SimFramework
 from .ops.visc import effective_viscosity, sps_stress
 from .ops.filters import apply_filters
@@ -139,8 +140,13 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
                 state = impose_io_values(
                     fw, fw.io, state,
                     t if t is not None else jnp.float32(0.0))
-            gamma, _ = compute_gamma(fw, grid, state, aux,
-                                     chunk_cells=chunk_cells)
+            if fw.dynamic_gamma:
+                # gamma is carried state, integrated after each euler
+                # (INTEGRATE_GAMMA / DENSITY_SUM), not re-quadratured
+                gamma = state.extras["gamma"]
+            else:
+                gamma, _ = compute_gamma(fw, grid, state, aux,
+                                         chunk_cells=chunk_cells)
             state = impose_boundary_conditions(
                 fw, grid, state, aux, gamma, chunk_cells=chunk_cells, t=t)
         return state, sigma, gamma
@@ -166,6 +172,32 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
 
     specs = tuple(bodies_specs or ())
 
+    density_sum = bool(fw.flags & SimFlags.ENABLE_DENSITY_SUM)
+    dyn_gamma = fw.dynamic_gamma
+
+    def post_euler_impl(state_n, state_new, dt_eff, aux):
+        """DENSITY_SUM / INTEGRATE_GAMMA after each euler half/full step
+        (PredictorCorrectorIntegrator.cc:616-682): both read the base state
+        n and update the freshly integrated state."""
+        if density_sum:
+            from .ops.density_sum import (apply_density_diffusion,
+                                          density_sum_update)
+
+            state_new = density_sum_update(
+                fw, grid, state_n, state_new, aux, dt_eff,
+                chunk_cells=chunk_cells)
+            if fw.densitydiffusiontype != DensityDiffusionType.NONE:
+                state_new = apply_density_diffusion(
+                    fw, grid, state_new, aux, dt_eff,
+                    chunk_cells=chunk_cells)
+        elif dyn_gamma:
+            from .ops.density_sum import integrate_gamma
+
+            state_new = integrate_gamma(
+                fw, grid, state_n, state_new, aux, dt_eff,
+                chunk_cells=chunk_cells)
+        return state_new
+
     def pc_step(carry, it):
         state, dt, t, bodies, aux, table = carry
 
@@ -180,6 +212,8 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
             b1 = reduce_body_forces(specs, state, f1.DvDt, bodies)
             b_half = step_bodies(specs, b1, gravity_at(t), t, dt * 0.5)
             half = apply_body_motion(specs, half, b_half, dt * 0.5)
+        if density_sum or dyn_gamma:
+            half = post_euler_impl(state, half, dt * 0.5, aux)
 
         # CORRECTOR: forces at n*, integrate n -> n+1 with dt
         f2, half = forces(half, aux, dt, t + dt * 0.5, table)
@@ -191,6 +225,8 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
             new_state = apply_body_motion(specs, new_state, new_bodies, dt)
         else:
             new_bodies = bodies
+        if density_sum or dyn_gamma:
+            new_state = post_euler_impl(state, new_state, dt, aux)
 
         if fw.io is not None:
             from .ops.io_boundary import kill_outflow
@@ -295,6 +331,19 @@ class Simulator:
 
         if self.bodies is None:
             self.bodies = init_bodies_state(self.bodies_specs, state)
+
+        # dynamic gamma: seed gamma/gradgamma by quadrature on a fresh start
+        # (saInitGamma during INITIALIZATION; a resume keeps the hotfile's)
+        if self.fw.dynamic_gamma and self.iterations == 0:
+            from .ops.density_sum import init_dynamic_gamma
+            from .ops.neighbors import build_cells
+
+            def _init(s):
+                s, aux = build_cells(self.grid, s)
+                return init_dynamic_gamma(self.fw, self.grid, s, aux,
+                                          chunk_cells=self.chunk_cells)
+
+            state = jax.jit(_init)(state)
 
         # open boundaries: vertex-mass accumulator + id allocator for the
         # host-side inlet particle creation (CHECK_NEWNUMPARTS cadence)

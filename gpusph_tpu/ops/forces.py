@@ -125,21 +125,31 @@ def _pair_fields(fw: SimFramework, state: ParticleState, sps_tau=None,
         ptype=ptype,
         f_num=f_num,
     )
+    # momentum-equation pressure: with k-epsilon the turbulent pressure
+    # 2k/(3 rho) is added before the formulation-specific precalc
+    # (pressure_for_precalc, forces_kernel.def:396-401); all other pressure
+    # uses (density-diffusion gates, SA wall imposition) keep the raw EOS
+    # pressure like the reference's particle_pressure
+    press_pc = press
+    if fw.visc.turbmodel == TurbulenceModel.KEPSILON:
+        press_pc = press + 2.0 * state.extras["tke"] / (3.0 * rho_phys)
+    fields["press_mom"] = press_pc
+
     grenier = fw.sph_formulation == SPHFormulation.SPH_GRENIER
     if grenier:
         # Grenier precalc is P/sigma (forces_kernel.def:445-455)
         if sigma is None:
             sigma = jnp.ones((state.capacity,), jnp.float32)
         fields["sigma"] = sigma
-        fields["p_precalc"] = press / jnp.maximum(sigma, 1e-30)
+        fields["p_precalc"] = press_pc / jnp.maximum(sigma, 1e-30)
         fields["g_vol"] = jnp.exp(state.extras["grenier_J"]) * \
             state.extras["grenier_vol0"]
     elif fw.sph_formulation == SPHFormulation.SPH_HA:
         # Hu & Adams precalc is plain P (forces_kernel.def:458-467)
-        fields["p_precalc"] = press
+        fields["p_precalc"] = press_pc
     # pressure precalc: F1 and friends use P/rho^2 (forces_kernel.def:416-467)
     elif fw.sph_formulation != SPHFormulation.SPH_F2:
-        fields["p_precalc"] = press / (rho_phys * rho_phys)
+        fields["p_precalc"] = press_pc / (rho_phys * rho_phys)
     # per-particle dynamic viscosity for the laminar term
     if not fw.is_inviscid:
         visccoeff = eos._per_fluid(pp, f_num, [f.kinematic_visc for f in pp.fluids])
@@ -307,7 +317,7 @@ def compute_forces(
             # boundary DvDt, the bodies subsystem reduces it per object
             mom_mask = mom_mask | (g.mask & c_bound & n_fluid)
         if fw.sph_formulation == SPHFormulation.SPH_F2:
-            pgrad = (c["press"] + n["press"]) / (rho_c * rho_n)
+            pgrad = (c["press_mom"] + n["press_mom"]) / (rho_c * rho_n)
         else:
             pgrad = c["p_precalc"] + n["p_precalc"]
         if ha:

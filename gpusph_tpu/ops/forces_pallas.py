@@ -73,10 +73,16 @@ C_MASS, C_RHO, C_PPRE, C_SSPEED = 6, 7, 8, 9
 C_PRESS, C_FLUID, C_BOUND, C_DVISC = 10, 11, 12, 13
 NCOLS = 16
 
+import os as _os
+
 NOUT = 8  # DrDt, DvDt xyz, xsph xyz, DEDt
-B = 64  # central block size (slots)
-TS = 256  # table tile size (slots per [16,TS] tile) = compute chunk width
-SPAN = 16  # max fast-axis cells per block (bounds the run extent statically)
+# geometry knobs (env-overridable for perf sweeps; defaults are the tuned
+# production values)
+B = int(_os.environ.get("GTPU_B", "64"))  # central block size (slots)
+# table tile size (slots per [16,TS] tile) = compute chunk width
+TS = int(_os.environ.get("GTPU_TS", "256"))
+# max fast-axis cells per block (bounds the run extent statically)
+SPAN = int(_os.environ.get("GTPU_SPAN", "16"))
 PAD_POS = 1.0e4  # pad-slot coordinate: far away, finite under f32 kernels
 
 

@@ -139,12 +139,16 @@ def inlet_create_host(fw: SimFramework, io: IOSpec, state: ParticleState,
     fl_pos = pos[act & ~io_row]
     cand = pos[idx] + belem_np(state)[idx] * (0.5 * dp)
     if len(fl_pos):
-        keep = np.ones(len(idx), bool)
-        for k, c in enumerate(cand):
-            d2 = np.einsum("ij,ij->i", fl_pos - c, fl_pos - c)
-            if d2.min() < (0.7 * dp) ** 2:
-                keep[k] = False
-        idx = idx[keep]
+        # vectorized: coarse box prefilter around the inlet region, then one
+        # broadcast distance test (no per-candidate Python loop)
+        lo = cand.min(axis=0) - 0.8 * dp
+        hi = cand.max(axis=0) + 0.8 * dp
+        near = np.all((fl_pos >= lo) & (fl_pos <= hi), axis=1)
+        fl_near = fl_pos[near]
+        if len(fl_near):
+            diff = cand[:, None, :] - fl_near[None, :, :]
+            d2 = np.einsum("kij,kij->ki", diff, diff)
+            idx = idx[d2.min(axis=1) >= (0.7 * dp) ** 2]
     if len(idx) == 0:
         return state, vmass, next_id, 0
 

@@ -41,11 +41,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..bodies import (BodiesState, apply_body_motion, reduce_body_forces,
                       step_bodies)
-from ..defs import ParticleType, SimFlags, SPHFormulation
+from ..defs import ParticleType, SimFlags, SPHFormulation, TurbulenceModel
 from ..framework import SimFramework
 from ..ops.filters import apply_filters
 from ..ops.forces import compute_forces
-from ..ops.forces_pallas import compute_forces_pallas, pallas_supported
+from ..ops.forces_pallas import (build_block_plan, compute_forces_pallas,
+                                 pallas_supported)
 from ..ops.integrate import compute_dt, euler_step
 from ..ops.neighbors import CellAux, CellGrid, cell_coords
 from ..state import ParticleState, is_active
@@ -252,6 +253,8 @@ def make_sharded_chunk(
 
     grenier = fw.sph_formulation == SPHFormulation.SPH_GRENIER
     granular = fw.visc.rheologytype == _Rheo.GRANULAR
+    needs_sps = fw.visc.turbmodel == TurbulenceModel.SPS
+    needs_effvisc = fw.visc.needs_effective_visc
     # fail fast on a missing extras declaration (the chunk's in/out pytree
     # is fixed at build time; a state with undeclared extras fails later
     # with an opaque pytree mismatch)
@@ -260,6 +263,8 @@ def make_sharded_chunk(
         needed.add("effpres")
     if fw.sa_boundary:
         needed.update(("belem", "vr0", "vr1", "vr2"))
+    if fw.dynamic_gamma:
+        needed.update(("gamma", "gradgamma"))
     from ..defs import TurbulenceModel as _TM
     if fw.visc.turbmodel == _TM.KEPSILON:
         needed.update(("tke", "eps", "turbvisc"))
@@ -279,12 +284,17 @@ def make_sharded_chunk(
         )
 
     if use_pallas:
-        def raw_forces(state, aux, dt, t, sigma=None, gamma=None):
-            return compute_forces_pallas(fw, lg, state, aux, dt=dt)
+        def raw_forces(state, aux, dt, t, sigma=None, gamma=None,
+                       sps_tau=None, effvisc=None, table=None):
+            return compute_forces_pallas(fw, lg, state, aux, dt=dt,
+                                         sps_tau=sps_tau, effvisc=effvisc,
+                                         table=table)
     else:
-        def raw_forces(state, aux, dt, t, sigma=None, gamma=None):
+        def raw_forces(state, aux, dt, t, sigma=None, gamma=None,
+                       sps_tau=None, effvisc=None, table=None):
             return compute_forces(fw, lg, state, aux, dt=dt,
                                   chunk_cells=chunk_cells,
+                                  sps_tau=sps_tau, effvisc=effvisc,
                                   sigma=sigma, t=t, gamma=gamma)
 
     up_perm = [(i, i + 1) for i in range(ndev - 1)]
@@ -426,6 +436,9 @@ def make_sharded_chunk(
             max_occupancy=jnp.max(cnt[:n_cells]),
             n_active=jnp.sum(is_active(local.info).astype(jnp.int32)),
         )
+        # Pallas DMA/compute plan: once per rebuild, reused by every forces
+        # pass of the chunk (mirrors make_sim_chunk)
+        plan = build_block_plan(fw, lg, aux, capX) if use_pallas else None
 
         def exchange_tree(tree):
             """UPDATE_EXTERNAL for arbitrary [capX,...] per-particle arrays:
@@ -468,12 +481,15 @@ def make_sharded_chunk(
                                rho=new["rho"], extras=extras)
 
         def exchange_field(a):
-            """Per-field halo refresh (sigma / effpres exchanges)."""
+            """Per-field halo refresh (sigma / effpres / gamma / tau
+            exchanges — the reference's targeted UPDATE_EXTERNAL)."""
             r_dn, r_up = exchange_tree((a,))[0]
-            a = a.at[cap:cap + H].set(
-                jnp.where(ghost_dn_alive, r_dn, a[cap:cap + H]))
-            a = a.at[cap + H:].set(
-                jnp.where(ghost_up_alive, r_up, a[cap + H:]))
+            gd, gu = ghost_dn_alive, ghost_up_alive
+            if a.ndim > 1:
+                gd = gd[:, None]
+                gu = gu[:, None]
+            a = a.at[cap:cap + H].set(jnp.where(gd, r_dn, a[cap:cap + H]))
+            a = a.at[cap + H:].set(jnp.where(gu, r_up, a[cap + H:]))
             return a
 
         local_rows = jnp.arange(capX, dtype=jnp.int32) < cap
@@ -481,10 +497,14 @@ def make_sharded_chunk(
         def gravity_at(t):
             return fw.gcallback(t) if fw.gcallback is not None else fw.pp.gravity
 
-        def prep(stc):
+        def prep(stc, t):
             """Pre-forces phases with their halo exchanges (Grenier
-            COMPUTE_DENSITY sigma, granular Jacobi effpres)."""
+            COMPUTE_DENSITY sigma, granular Jacobi effpres, SA gamma +
+            boundary-condition imposition — each followed by the matching
+            UPDATE_EXTERNAL like the reference's SA BC sequence,
+            PredictorCorrectorIntegrator.cc:121-305)."""
             sigma = None
+            gamma = None
             if grenier:
                 from ..ops.grenier import grenier_density_sigma
 
@@ -506,11 +526,81 @@ def make_sharded_chunk(
                 extras = dict(stc.extras)
                 extras["effpres"] = exchange_field(ep)
                 stc = stc.replace(extras=extras, info=info2)
-            return stc, sigma
+            if fw.sa_boundary:
+                from ..ops.sa import compute_gamma, impose_boundary_conditions
+
+                if fw.io is not None:
+                    from ..ops.io_boundary import impose_io_values
+
+                    stc = impose_io_values(fw, fw.io, stc, t)
+                gamma, _ = compute_gamma(fw, lg, stc, aux,
+                                         chunk_cells=chunk_cells)
+                # ghost rows' gamma comes from truncated neighborhoods:
+                # take the owners' values before it feeds the pair pass
+                gamma = exchange_field(gamma)
+                stc = impose_boundary_conditions(
+                    fw, lg, stc, aux, gamma, chunk_cells=chunk_cells, t=t)
+                # imposition rewrites rho/vel (+ extras) on wall rows from
+                # fluid sums; ghost wall rows need the owners' results
+                stc = halo_refresh(stc)
+            return stc, sigma, gamma
+
+        def calc_visc(stc):
+            """CALC_VISC phase + UPDATE_EXTERNAL(TAU/EFFVISC) — ephemeral
+            viscosity-engine outputs are pair fields, so ghost rows must
+            carry the owners' values."""
+            sps_tau = effvisc = None
+            if needs_sps:
+                from ..ops.visc import sps_stress
+
+                sps_tau, _ = sps_stress(fw, lg, stc, aux,
+                                        chunk_cells=chunk_cells)
+                sps_tau = exchange_field(sps_tau)
+            if needs_effvisc:
+                from ..ops.visc import effective_viscosity
+
+                effvisc = effective_viscosity(
+                    fw, lg, stc, aux, effpres=stc.extra("effpres"),
+                    chunk_cells=chunk_cells,
+                )
+                effvisc = exchange_field(effvisc)
+            return sps_tau, effvisc
 
         def forces(stc, dt, t):
-            stc, sigma = prep(stc)
-            return raw_forces(stc, aux, dt, t, sigma=sigma), stc
+            stc, sigma, gamma = prep(stc, t)
+            sps_tau, effvisc = calc_visc(stc)
+            return raw_forces(stc, aux, dt, t, sigma=sigma, gamma=gamma,
+                              sps_tau=sps_tau, effvisc=effvisc,
+                              table=plan), stc
+
+        density_sum = bool(fw.flags & SimFlags.ENABLE_DENSITY_SUM)
+        dyn_gamma = fw.dynamic_gamma
+
+        def post_euler(state_n, state_new, dt_eff):
+            """DENSITY_SUM / INTEGRATE_GAMMA + UPDATE_EXTERNAL(VEL|GRADGAMMA)
+            (PredictorCorrectorIntegrator.cc:616-682).  The incoming
+            state_new must already be halo-refreshed so ghost rows carry the
+            owners' post-euler positions."""
+            if density_sum:
+                from ..ops.density_sum import (apply_density_diffusion,
+                                               density_sum_update)
+                from ..defs import DensityDiffusionType as _DD
+
+                state_new = density_sum_update(fw, lg, state_n, state_new,
+                                               aux, dt_eff,
+                                               chunk_cells=chunk_cells)
+                state_new = halo_refresh(state_new)
+                if fw.densitydiffusiontype != _DD.NONE:
+                    state_new = apply_density_diffusion(
+                        fw, lg, state_new, aux, dt_eff,
+                        chunk_cells=chunk_cells)
+            elif dyn_gamma:
+                from ..ops.density_sum import integrate_gamma
+
+                state_new = integrate_gamma(fw, lg, state_n, state_new,
+                                            aux, dt_eff,
+                                            chunk_cells=chunk_cells)
+            return state_new
 
         # ===== integration steps ===========================================
         def pc_step(carry, it):
@@ -526,6 +616,8 @@ def make_sharded_chunk(
                 b_half = step_bodies(specs, b1, gravity_at(t), t, dt * 0.5)
                 half = apply_body_motion(specs, half, b_half, dt * 0.5)
             half = halo_refresh(half)
+            if density_sum or dyn_gamma:
+                half = halo_refresh(post_euler(stc, half, dt * 0.5))
             f2, half = forces(half, dt, t + dt * 0.5)
             new = euler_step(fw, stc, f2, dt, step=2, full_dt=dt, grid=lg)
             if specs:
@@ -538,6 +630,15 @@ def make_sharded_chunk(
                 new = apply_body_motion(specs, new, new_bodies, dt)
             else:
                 new_bodies = bodies
+            if density_sum or dyn_gamma:
+                new = halo_refresh(new)
+                new = post_euler(stc, new, dt)
+            if fw.io is not None:
+                from ..ops.io_boundary import kill_outflow
+
+                # pure per-row geometry test: ghosts kill their own copies
+                # consistently with the owners (CHECK_NEWNUMPARTS analogue)
+                new = kill_outflow(fw.io, new)
             new = halo_refresh(new)
             if adaptive:
                 local_dt = compute_dt(fw, f2)

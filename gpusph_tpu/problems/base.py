@@ -79,6 +79,11 @@ class Geometry:
     # granular sediment phase: sets FG_SEDIMENT on the particles
     # (reference DamBreakMobileBed.cu:178)
     sediment: bool = False
+    # rigid-body overrides (reference Object::SetMass/SetInertia): total
+    # body mass and body-frame diagonal inertia; default = estimated from
+    # the particle cloud
+    body_mass: Optional[float] = None
+    inertia: Optional[Tuple[float, float, float]] = None
 
 
 @dataclasses.dataclass
@@ -340,14 +345,16 @@ class Problem:
             )
 
     def rotate(self, geom_id: int, rx: float, ry: float, rz: float, center=None):
-        """Rotate a geometry (only z-rotation supported for now, like the
-        DamBreak3D obstacle)."""
+        """Rotate a geometry about ``center`` (default: its min corner, the
+        reference's rotation-center convention) by sequential X, Y, Z axis
+        rotations (ProblemAPI_1::rotate semantics,
+        `src/problem_api/ProblemAPI_1.cc`)."""
         g = self.geometries[geom_id]
         if center is None:
             center = g.points.min(axis=0)
-        if rx or ry:
-            raise NotImplementedError("only z-axis rotation implemented")
-        g.points = geo.rotate_z(g.points, center, rz)
+        for axis, ang in ((0, rx), (1, ry), (2, rz)):
+            if ang:
+                g.points = geo.rotate_axis(g.points, center, axis, ang)
 
     def enable_feedback(self, geom_id: int):
         self.geometries[geom_id].feedback = True
@@ -394,15 +401,20 @@ class Problem:
             n = max(1, len(g.points))
             mass = (g.mass if g.mass is not None else
                     (g.density or self.fw.pp.fluids[0].rho0) * self.deltap**3)
-            total_mass = mass * n
-            # crude inertia from the particle cloud (diagonal)
-            pts = (g.points - g.points.mean(axis=0)
-                   if len(g.points) else np.zeros((1, 3)))
-            inertia = tuple(
-                float(mass * ((pts**2).sum() - (pts[:, a] ** 2).sum()))
-                for a in range(3)
-            )
-            inertia = tuple(max(i, 1e-9) for i in inertia)
+            total_mass = g.body_mass if g.body_mass is not None else mass * n
+            if g.inertia is not None:
+                # analytic body-frame inertia (reference Object::SetInertia)
+                inertia = tuple(max(float(i), 1e-9) for i in g.inertia)
+            else:
+                # crude inertia from the particle cloud (diagonal)
+                pts = (g.points - g.points.mean(axis=0)
+                       if len(g.points) else np.zeros((1, 3)))
+                pm = total_mass / n
+                inertia = tuple(
+                    float(pm * ((pts**2).sum() - (pts[:, a] ** 2).sum()))
+                    for a in range(3)
+                )
+                inertia = tuple(max(i, 1e-9) for i in inertia)
             specs.append(
                 BodySpec(
                     object_idx=g.object_idx,
@@ -676,6 +688,11 @@ class Problem:
             extras["belem"] = jnp.asarray(belem)
             for i in range(3):
                 extras[f"vr{i}"] = jnp.asarray(vrs[i])
+        if self.sa_meshes and self.fw.dynamic_gamma:
+            # BUFFER_GRADGAMMA state for density-sum/dynamic-gamma runs;
+            # seeded by Simulator.run via init_dynamic_gamma (saInitGamma)
+            extras["gamma"] = jnp.ones((capacity,), jnp.float32)
+            extras["gradgamma"] = jnp.zeros((capacity, 3), jnp.float32)
         if self.fw.flags & _SimFlags.ENABLE_INTERNAL_ENERGY:
             extras["energy"] = jnp.zeros((capacity,), jnp.float32)
         from ..defs import RheologyType as _Rheo

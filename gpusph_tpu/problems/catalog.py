@@ -1164,6 +1164,13 @@ class StillWaterSA(Problem):
         l = self.get_option("side", 0.5)
         ppH = self.get_option("ppH", 24)
 
+        # density sum + dynamic gamma: the reference's preferred SA
+        # integration (ENABLE_DENSITY_SUM, `src/problems/StillWater.cu`
+        # SA branch); disable with --density_sum 0 for the round-2
+        # continuity+quadrature scheme
+        flags = SimFlags.ENABLE_DTADAPT
+        if self.get_option("density_sum", 1):
+            flags |= SimFlags.ENABLE_DENSITY_SUM
         self.setup_framework(
             kernel=KernelType.WENDLAND,
             boundary=BoundaryType.SA_BOUNDARY,
@@ -1174,6 +1181,7 @@ class StillWaterSA(Problem):
                     "density-diffusion", int(DensityDiffusionType.COLAGROSSI)
                 )
             ),
+            flags=flags,
             simparams=SimParams(densityDiffCoeff=0.1),
         )
         self.set_deltap(H / ppH)
@@ -1925,3 +1933,323 @@ class ChannelIO(Problem):
         self.add_box(GeometryType.FLUID, FillType.SOLID,
                      (wd, wd, wd), L - 2 * wd, W - 2 * wd, h0 - wd)
 
+
+
+class Objects(Problem):
+    """Dam break with fixed obstacles and two floating bodies — a rotated
+    cube and a sphere at quarter water density (reference
+    `src/problems/Objects.cu:44-188`).  The reference's optional Chrono
+    distance joint between the two bodies (`initializeObjectJoints`,
+    `Objects.cu:199-211`) is not supported (free 6-DOF bodies only)."""
+
+    name = "Objects"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        dim = (1.6, 0.8, 0.8)
+        water_length, water_height = 0.5, 0.5
+        obstacle_side = 0.1
+        objects_side = 0.08
+        obstacle_xpos = 1.0
+        n_obstacles = self.get_option("num_obstacles", 1)
+        rotate_obstacle = self.get_option("rotate_obstacle", 1)
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.LJ_BOUNDARY,
+            rheology=RheologyType.NEWTONIAN,
+            visc_model=ViscousModel.MORRIS,
+            density_diffusion=DensityDiffusionType(
+                self.get_option("density-diffusion",
+                                int(DensityDiffusionType.FERRARI))),
+            simparams=SimParams(densityDiffCoeff=0.1),
+        )
+        self.set_deltap(self.get_option("deltap", 0.02))
+        dp = self.deltap
+        self.set_gravity(-9.81)
+        self.set_max_fall(water_height)
+        self.add_fluid(1000.0)
+        self.set_equation_of_state(0, 7.0, 20.0)
+        self.set_dynamic_visc(0, 1.0e-4)
+        self.set_tend(self.get_option("tend", 2.0))
+        self.add_writer(freq=0.01)
+
+        self.make_universe_box((0.0, 0.0, 0.0), dim)
+        self.add_box(GeometryType.FIXED_BOUNDARY, FillType.BORDER,
+                     (0, 0, 0), *dim, open_top=True)
+        self.add_box(GeometryType.FLUID, FillType.SOLID,
+                     (dp, dp, dp), water_length - dp, dim[1] - 2 * dp,
+                     water_height - dp)
+        self.set_water_level(water_height)
+
+        # fixed obstacles (PP_BOTTOM_CENTER placement, optional 45-degree
+        # z-rotation about the corner like the reference)
+        y_dist = dim[1] / (n_obstacles + 1)
+        for i in range(n_obstacles):
+            cy = y_dist * (i + 1) + (obstacle_side / 2 if rotate_obstacle else 0)
+            obst = self.add_box(
+                GeometryType.FIXED_BOUNDARY, FillType.BORDER,
+                (obstacle_xpos - obstacle_side / 2, cy - obstacle_side / 2, dp),
+                obstacle_side, obstacle_side, dim[2] / 2,
+            )
+            if rotate_obstacle:
+                self.rotate(obst, 0, 0, math.pi / 4)
+            self.erase_fluid_inside(geo.box_predicate(
+                (obstacle_xpos - obstacle_side, cy - obstacle_side, 0.0),
+                (2 * obstacle_side, 2 * obstacle_side, dim[2] / 2),
+                margin=dp / 2))
+
+        rho0 = 1000.0
+        rho_body = rho0 / 4  # quarter density so the bodies float
+
+        # floating cube (PP_CENTER), rotated about Y then Z by 45 degrees
+        cc = (water_length, dim[1] / 5 * 1.5, water_height)
+        c0 = tuple(c - objects_side / 2 for c in cc)
+        cube = self.add_box(GeometryType.FLOATING_BODY, FillType.BORDER,
+                            c0, objects_side, objects_side, objects_side)
+        g = self.geometries[cube]
+        g.mass = rho0 * dp**3  # setParticleMassByDensity(rho0)
+        g.body_mass = rho_body * objects_side**3
+        ic = g.body_mass * objects_side**2 / 6.0
+        g.inertia = (ic, ic, ic)
+        self.rotate(cube, 0, math.pi / 4, math.pi / 4,
+                    center=np.asarray(cc))
+
+        # floating sphere
+        sc = (water_length, dim[1] / 5 * 2.5, water_height)
+        sph = self.add_sphere(GeometryType.FLOATING_BODY, FillType.BORDER,
+                              sc, objects_side / 2)
+        g = self.geometries[sph]
+        g.mass = rho0 * dp**3
+        g.body_mass = rho_body * 4.0 / 3.0 * math.pi * (objects_side / 2) ** 3
+        isph = 0.4 * g.body_mass * (objects_side / 2) ** 2
+        g.inertia = (isph, isph, isph)
+
+
+class SlidingWedge(Problem):
+    """Submarine landslide: a wedge slides down a 2:1 slope with the
+    prescribed cubic displacement law of the Watts experiment (reference
+    `src/problems/SlidingWedge.cu:39-258`, `moving_bodies_callback`
+    `:125-147`)."""
+
+    name = "SlidingWedge"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        import jax.numpy as jnp
+
+        lx, ly, lz = 10.0, 3.7, 3.1
+        H = 2.44
+        tan_beta = 0.5
+        beta = math.atan(tan_beta)
+        x0 = 0.5
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.LJ_BOUNDARY,
+            rheology=RheologyType.NEWTONIAN,
+            visc_model=ViscousModel.MORRIS,
+            computational_visc=ComputationalViscosityType.KINEMATIC,
+            density_diffusion=DensityDiffusionType.FERRARI,
+            simparams=SimParams(densityDiffCoeff=1.0, dtadaptfactor=0.2),
+        )
+        self.set_deltap(self.get_option("deltap", 0.1))
+        dp = self.deltap
+        self.set_timestep(0.00013)
+        self.set_gravity(-9.81)
+        self.set_max_fall(H)
+        self.add_fluid(1000.0)
+        self.set_equation_of_state(0, 7.0, 30.0)
+        self.set_kinematic_visc(0, 1.0e-6)
+        t0 = 0.4
+        self.t0 = t0
+        self.set_tend(self.get_option("tend", 4.0 + t0))
+        self.add_writer(freq=0.1)
+
+        self.make_universe_box((-x0 - dp, -ly / 2 - dp, -H - 2 * dp),
+                               (lx + 2 * dp, ly + 2 * dp, lz + 3 * dp))
+
+        # water: box cut by the slope plane z = -x/2 (PlaneCut(1,0,2,0))
+        wat = self.add_box(GeometryType.FLUID, FillType.SOLID,
+                           (-x0, -ly / 2, -H), lx, ly, H)
+        pts = self.geometries[wat].points
+        self.geometries[wat].points = pts[
+            pts[:, 0] + 2 * pts[:, 2] < -dp / 4]
+
+        # sloped bottom as an LJ plane + side/end walls as planes
+        self.add_plane((0.0, 0.0, 0.0), (-math.sin(beta), 0.0, math.cos(beta)))
+        self.add_plane((-x0, 0.0, 0.0), (1.0, 0.0, 0.0))
+        self.add_plane((lx - x0, 0.0, 0.0), (-1.0, 0.0, 0.0))
+        self.add_plane((0.0, -ly / 2, 0.0), (0.0, 1.0, 0.0))
+        self.add_plane((0.0, ly / 2, 0.0), (0.0, -1.0, 0.0))
+
+        # the wedge: 0.91 x 0.61 x 0.455 triangular prism approximated by
+        # its bounding box surface, placed on the slope at the waterline,
+        # sliding with the prescribed law (Watts 2005 experiment constants)
+        ws = (0.91, 0.61, 0.455)
+        wedge_c = (0.3, -ws[1] / 2, 0.05 - ws[2])
+        wedge = self.add_box(GeometryType.MOVING_BODY, FillType.BORDER,
+                             wedge_c, *ws)
+        self.rotate(wedge, 0, -beta, 0, center=np.asarray(
+            (wedge_c[0], 0.0, wedge_c[2] + ws[2])))
+        self.erase_fluid_inside(geo.box_predicate(
+            (wedge_c[0] - ws[2], wedge_c[1], wedge_c[2] - ws[0] * tan_beta),
+            (ws[0] + 2 * ws[2], ws[1], ws[2] + ws[0]), margin=dp / 2))
+
+        a, b, c = -0.097588, 0.759361, 0.078776
+        cosb, sinb = math.cos(beta), math.sin(beta)
+        t_slide = 2.6714
+
+        def wedge_motion(t):
+            # velocity of f(t) = a t^3 + b t^2 + c t along the slope
+            # (moving_bodies_callback, SlidingWedge.cu:125-147; the
+            # reference's v1 uses `+ t1` for the linear term — kept as the
+            # published law's `+ c`)
+            tt = jnp.clip(t - t0, 0.0, t_slide)
+            v = 3 * a * tt * tt + 2 * b * tt + c
+            live = ((t >= t0) & (t <= t0 + t_slide)).astype(jnp.float32)
+            v = v * live
+            lin = jnp.stack([v * cosb, jnp.zeros_like(v), -v * sinb])
+            return lin, jnp.zeros(3, jnp.float32)
+
+        self.set_body_motion(wedge, wedge_motion)
+
+        for zf in (1.0, 0.5, 0.25, 0.0):
+            self.add_gage(1.83, 0.0)
+            self.add_gage(1.2446, 0.635)
+
+
+class OilJet(Problem):
+    """Oil jet: a piston pushes fluid up a submerged pipe into a water
+    basin, Grenier formulation (reference `src/problems/OilJet.cu:43-152`,
+    piston law `moving_bodies_callback` `:139-152`)."""
+
+    name = "OilJet"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        import jax.numpy as jnp
+
+        layers = 5
+        water_level = 2.0
+        pipe_length = 2.0
+        inner_diam = 0.4
+        lx = ly = 2.0
+
+        self.setup_framework(
+            formulation=SPHFormulation.SPH_GRENIER,
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            rheology=RheologyType.NEWTONIAN,
+            visc_model=ViscousModel.MORRIS,
+            simparams=SimParams(dtadaptfactor=0.2),
+        )
+        self.set_dynamic_boundaries_layers(layers)
+        self.set_deltap(self.get_option("deltap", 0.05))
+        dp = self.deltap
+        self.set_timestep(0.00013)
+        self.set_gravity(-9.81)
+        self.set_max_fall(water_level)
+        self.add_fluid(1000.0)
+        self.set_equation_of_state(0, 7.0, 10.0)
+        self.set_kinematic_visc(0, 1.0e-6)
+        self.set_tend(self.get_option("tend", 2.0))
+        self.add_writer(freq=0.01)
+
+        lz = water_level + pipe_length + layers * dp
+        lm1 = layers - 1
+        self.make_universe_box((0.0, 0.0, -pipe_length - layers * dp),
+                               (lx, ly, 1.1 * lz))
+
+        self.add_box(GeometryType.FLUID, FillType.SOLID,
+                     (dp / 2, dp / 2, dp / 2),
+                     lx - dp, ly - dp, water_level - dp)
+        self.add_box(GeometryType.FIXED_BOUNDARY, FillType.SOLID,
+                     (dp / 2, dp / 2, -(lm1 + 0.5) * dp),
+                     lx - dp, ly - dp, lm1 * dp)
+        # erase the basin floor where the pipe passes through
+        self.erase_fluid_inside(
+            lambda p: ((p[:, 0] - lx / 2) ** 2 + (p[:, 1] - ly / 2) ** 2
+                       < (inner_diam / 2) ** 2) & (p[:, 2] < dp / 2))
+
+        plength = pipe_length + lm1 * dp - dp / 2
+        cbase = (lx / 2, ly / 2, -plength - dp / 2)
+        self.add_cylinder(GeometryType.FIXED_BOUNDARY, FillType.BORDER,
+                          cbase, (inner_diam - dp) / 2 + lm1 * dp, plength)
+        self.add_cylinder(GeometryType.FLUID, FillType.SOLID,
+                          cbase, (inner_diam - dp) / 2, plength)
+
+        piston = self.add_cylinder(
+            GeometryType.MOVING_BODY, FillType.SOLID,
+            cbase, (inner_diam - dp) / 2 + lm1 * dp, lm1 * dp)
+        piston_vel = 1.0
+
+        def piston_motion(t):
+            vz = jnp.full((), piston_vel, jnp.float32)
+            z = jnp.zeros((), jnp.float32)
+            return jnp.stack([z, z, vz]), jnp.zeros(3, jnp.float32)
+
+        self.set_body_motion(piston, piston_motion)
+        self.set_water_level(water_level)
+
+
+class DynBoundsExample(Problem):
+    """Inclined 2D Poiseuille sheet flow between dynamic-boundary plates,
+    double-periodic in x/y, driven by tilted gravity (reference
+    `src/problems/DynBoundsExample.cu:28-122`; hydrostatic density init
+    `:105-122`)."""
+
+    name = "DynBoundsExample"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        W = 1.0
+        H = 2 * W
+        degs = 60.0
+        alpha = math.pi * degs / 180.0
+        g = 9.81
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.DYN_BOUNDARY,
+            rheology=RheologyType.NEWTONIAN,
+            visc_model=ViscousModel.MORRIS,
+            periodicity=Periodicity.XY,
+            flags=SimFlags.ENABLE_DTADAPT | SimFlags.ENABLE_REPACKING,
+        )
+        self.set_deltap(self.get_option("deltap", W / 64))
+        dp = self.deltap
+        w = 4 * dp
+        self.alpha, self.H, self.w = alpha, H, w
+        self.set_gravity((g * math.sin(alpha), 0.0, -g * math.cos(alpha)))
+        maxvel = math.sqrt(g * H)
+        self.set_max_fall(H)
+        self.add_fluid(1.0)
+        self.set_equation_of_state(0, 7.0, 10 * maxvel)
+        self.set_kinematic_visc(0, 120.0)
+        self.set_tend(self.get_option("tend", 2.0))
+        self.repack_maxiter = 1000
+        self.add_writer(freq=0.01)
+
+        o = (-W / 2, -W / 2, -(H + 2 * w) / 2)
+        self.make_universe_box(o, (W, W, H + 2 * w))
+        self.add_box(GeometryType.FLUID, FillType.SOLID,
+                     (o[0] + dp / 2, o[1] + dp / 2, o[2] + w + dp),
+                     W - dp, W - dp, H - 2 * dp)
+        for z0 in (o[2], o[2] + H + w):
+            self.add_box(GeometryType.FIXED_BOUNDARY, FillType.SOLID,
+                         (o[0], o[1], z0), W - dp / 2, W - dp / 2, w)
+
+    def initialize_particles(self, grid, state):
+        # hydrostatic density against the tilted gravity (reference
+        # initializeParticles, DynBoundsExample.cu:105-122)
+        import jax.numpy as jnp
+
+        from ..ops import eos as _eos
+
+        ht = (self.origin[2] + self.H + 2 * self.w - state.pos[:, 2]) * \
+            math.cos(self.alpha)
+        # hydrostatic_density uses |g_z| = 9.81 cos(alpha) from PhysParams
+        rho = _eos.hydrostatic_density(self.fw.pp, jnp.maximum(ht, 0.0), 0)
+        return state.replace(
+            rho=jnp.where(state.active, rho, state.rho))
