@@ -42,8 +42,10 @@ def box_sa_mesh(
     dp: float,
     *,
     faces: str = "all",  # "all", "open_top" or "channel"
+    outward: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """SA mesh of an axis-aligned box with inward normals.
+    """SA mesh of an axis-aligned box with inward normals (``outward=True``
+    flips them for obstacle boxes immersed in the fluid).
 
     Returns dict with ``verts`` [NV,3], ``vert_normal`` [NV,3],
     ``vert_area`` [NV] (owned area), ``seg_pos`` [NS,3], ``seg_normal``
@@ -67,6 +69,9 @@ def box_sa_mesh(
         (o, ex * d[0], ez * d[2], ey, n[0], n[2]),                     # y=0, n=+y
         (o + ey * s[1], ez * d[2], ex * d[0], -ey, n[2], n[0]),        # y=L, n=-y
     ]
+    if outward:
+        face_defs = [(c, du, dv, -nrm, nu, nv)
+                     for (c, du, dv, nrm, nu, nv) in face_defs]
     if faces == "open_top":
         face_defs = [face_defs[0]] + face_defs[2:]
     elif faces == "channel":
@@ -139,6 +144,11 @@ def box_sa_mesh(
     # corners of a convex box
     dpm = float(np.mean(d))
     vert_volume = dpm**3 / (2.0 ** np.clip(nfaces, 1, 3))
+    if outward:
+        # fluid side is the exterior of a convex box: flat faces keep
+        # dp^3/2, edges get 3/4, corners 7/8
+        vert_volume = np.where(nfaces <= 1, vert_volume,
+                               dpm**3 - vert_volume)
 
     return dict(
         verts=verts,

@@ -423,13 +423,16 @@ def _forces_block_body(fw: SimFramework, grid: CellGrid, P: int,
     c_ss = ccol(C_SSPEED)
     c_fluid = ccol(C_FLUID)
     c_bound = ccol(C_BOUND)
-    c_ids = bB + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 
     Lx, Ly, Lz = grid.world_size
     per = int(fw.periodicbound)
     dyn = fw.boundarytype == BoundaryType.DYN_BOUNDARY
     ddt = fw.densitydiffusiontype
     has_energy = bool(fw.flags & SimFlags.ENABLE_INTERNAL_ENERGY)
+
+    # loop-invariant central composites (hoisted out of the chunk loop)
+    if dyn:
+        c_any = c_fluid + c_bound - c_fluid * c_bound
 
     liota = jax.lax.broadcasted_iota(jnp.int32, (1, TS), 1)
 
@@ -438,7 +441,6 @@ def _forces_block_body(fw: SimFramework, grid: CellGrid, P: int,
         win_idx = tb(32 + 4 * t + 0)
         lo = tb(32 + 4 * t + 1)
         hi = tb(32 + 4 * t + 2)
-        id_base = tb(32 + 4 * t + 3)
         w = win[win_idx]
 
         def wrowf(c):
@@ -448,7 +450,6 @@ def _forces_block_body(fw: SimFramework, grid: CellGrid, P: int,
             return wrowf(c).astype(cd)
 
         valid = (liota >= lo) & (liota < hi)
-        w_ids = id_base + liota
 
         # --- geometry (always f32) ---------------------------------------
         def rel_f(cc, wc, L, bit):
@@ -461,7 +462,9 @@ def _forces_block_body(fw: SimFramework, grid: CellGrid, P: int,
         rely_f = rel_f(cy, C_POSY, Ly, 1 << 1)
         relz_f = rel_f(cz, C_POSZ, Lz, 1 << 2)
         r2f = relx_f * relx_f + rely_f * rely_f + relz_f * relz_f
-        mask = valid & (r2f < rad2) & (w_ids != c_ids)
+        # self-pairs are excluded by r2 > 0: distinct particles never share
+        # an f32 position in a valid state (replaces the id compare)
+        mask = valid & (r2f < rad2) & (r2f > 0.0)
         fmask = mask.astype(cd)
         # clamp so pad-slot distances never overflow kernel polynomials
         r = jnp.sqrt(jnp.minimum(r2f, rad2)).astype(cd)
@@ -486,9 +489,7 @@ def _forces_block_body(fw: SimFramework, grid: CellGrid, P: int,
 
         # continuity (forces_kernel.def:2139-2155)
         if dyn:
-            cont = fmask * (c_fluid + c_bound - c_fluid * c_bound) * (
-                n_fluid + n_bound - n_fluid * n_bound
-            )
+            cont = fmask * c_any * (n_fluid + n_bound - n_fluid * n_bound)
         else:
             cont = fmask * c_fluid * n_fluid
         DrDt_term = vdp * mfK

@@ -309,13 +309,16 @@ class Problem:
             flags=self.fw.flags | SimFlags.ENABLE_INLET_OUTLET,
         )
 
-    def add_sa_box(self, origin, size, *, faces="all"):
+    def add_sa_box(self, origin, size, *, faces="all", outward=False):
         """SA boundary box: vertex particles + triangular boundary elements
         (the procedural equivalent of the reference's Crixus HDF5 input,
-        `ProblemAPI_1.cc:1998-2014`).  Requires BoundaryType.SA_BOUNDARY."""
+        `ProblemAPI_1.cc:1998-2014`).  Requires BoundaryType.SA_BOUNDARY.
+        ``outward=True`` makes an obstacle box (normals toward the fluid
+        outside)."""
         from ..geometry.sa_mesh import box_sa_mesh
 
-        mesh = box_sa_mesh(origin, size, self.deltap, faces=faces)
+        mesh = box_sa_mesh(origin, size, self.deltap, faces=faces,
+                           outward=outward)
         self.sa_meshes.append(mesh)
         return len(self.sa_meshes) - 1
 

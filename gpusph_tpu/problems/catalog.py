@@ -721,7 +721,13 @@ def _tank_points(origin, inner_size, dp, layers):
 
 
 __all__ = ["DamBreak3D", "Poiseuille", "StillWater", "WaveTank",
-           "LockExchange", "OpenChannel", "BuoyancyTest", "DamBreakGate"]
+           "LockExchange", "OpenChannel", "BuoyancyTest", "DamBreakGate",
+           "Spheric2", "RTInstability", "Bubble", "DamBreakMobileBed",
+           "Seiche", "StillWaterSA", "TurbulentPoiseuilleFlowSA",
+           "LithostaticLJ", "LithostaticDYN", "BiFluidPoiseuille",
+           "PoiseuillePapanastasiou", "AccuracyTest", "SolitaryWave",
+           "DEMExample", "OffshorePile", "ChannelIO", "Objects",
+           "SlidingWedge", "OilJet", "DynBoundsExample"]
 
 
 class RTInstability(Problem):
@@ -2253,3 +2259,89 @@ class DynBoundsExample(Problem):
         rho = _eos.hydrostatic_density(self.fw.pp, jnp.maximum(ht, 0.0), 0)
         return state.replace(
             rho=jnp.where(state.active, rho, state.rho))
+
+
+class Spheric2SA(Problem):
+    """SPHERIC test case 2 with semi-analytical boundaries and k-epsilon
+    turbulence (reference `src/problems/Spheric2SA.cu:38-110`: Crixus
+    h5sph geometry, KEPSVISC, Ferrari diffusion, gamma quadrature).  The
+    tank + obstacle meshes are generated procedurally (tank box with inward
+    normals, obstacle box with outward normals) instead of the HDF5 input.
+    """
+
+    name = "Spheric2SA"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        lx, ly, lz = 3.22, 1.0, 1.0
+        H = 0.55
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.SA_BOUNDARY,
+            rheology=RheologyType.NEWTONIAN,
+            turbulence_model=TurbulenceModel.KEPSILON,
+            visc_model=ViscousModel.MORRIS,
+            density_diffusion=DensityDiffusionType.FERRARI,
+            flags=SimFlags.ENABLE_DTADAPT | SimFlags.ENABLE_GAMMA_QUADRATURE,
+            simparams=SimParams(dtadaptfactor=0.3, densityDiffCoeff=0.1,
+                                ferrariLengthScale=0.161),
+        )
+        self.set_deltap(self.get_option("deltap", 0.02715))
+        dp = self.deltap
+        self.set_gravity(-9.81)
+        self.set_max_fall(H)
+        fl = self.add_fluid(1000.0)
+        self.set_equation_of_state(fl, 7.0, 130.0)
+        self.set_kinematic_visc(fl, 1.0e-6)
+        self.set_tend(self.get_option("tend", 1.2))
+        self.add_writer(freq=0.01)
+
+        self.make_universe_box((-2 * dp, -2 * dp, -2 * dp),
+                               (lx + 4 * dp, ly + 4 * dp, lz + 4 * dp))
+        self.add_sa_box((0.0, 0.0, 0.0), (lx, ly, lz), faces="all")
+        # Kleefsman obstacle as an outward SA box on the floor
+        ob = (2.3955, 0.295, 0.0)
+        os_ = (0.161, 0.403, 0.161)
+        self.add_sa_box(ob, os_, faces="open_top", outward=True)
+
+        self.add_box(GeometryType.FLUID, FillType.SOLID,
+                     (lx - 1.228 + dp / 2, dp, dp),
+                     1.228 - 3 * dp / 2, ly - 2 * dp, H - dp)
+        self.erase_fluid_inside(
+            geo.box_predicate(ob, os_, margin=dp / 2))
+        self.set_water_level(H)
+
+        for x in (2.724, 2.228, 1.732, 0.582):
+            self.add_gage(x, 0.5)
+        for z in (0.021, 0.061, 0.101, 0.141):
+            self.add_testpoint((2.3955, 0.5, z))
+        for x in (2.4165, 2.4565, 2.4965, 2.5365):
+            self.add_testpoint((x, 0.5, 0.161))
+
+    def initialize_particles(self, grid, state):
+        # k-eps seeding like TurbulentPoiseuilleFlowSA (reference inits
+        # k/eps through init_keps)
+        import jax.numpy as jnp
+
+        extras = dict(state.extras)
+        k0 = 1e-4
+        extras["tke"] = jnp.where(state.active, k0, extras["tke"])
+        extras["eps"] = jnp.where(state.active, 1e-4, extras["eps"])
+        extras["turbvisc"] = 0.09 * extras["tke"] ** 2 / jnp.maximum(
+            extras["eps"], 1e-10)
+        return state.replace(extras=extras)
+
+
+class StillWaterRepackSA(StillWaterSA):
+    """StillWaterSA preceded by particle repacking (reference
+    `src/problems/StillWaterRepackSA.cu`: ENABLE_REPACKING,
+    repack_maxiter=10, repack_a=0.1, repack_alpha=0.1)."""
+
+    name = "StillWaterRepackSA"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        self.fw = dataclasses_replace(
+            self.fw, flags=self.fw.flags | SimFlags.ENABLE_REPACKING)
+        self._update_sp(repack_maxiter=10, repack_a=0.1, repack_alpha=0.1)

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""On-device XLA-vs-Pallas forces parity check (VERDICT round-1 weak #11).
+
+Runs both forces engines on the attached chip for a real problem state and
+reports max abs/rel differences per output.  Exit code 1 on mismatch, and
+writes a one-line JSON verdict so CI/rounds can archive the artifact.
+
+Usage: python scripts/parity_pallas.py [Problem] [deltap]
+"""
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from gpusph_tpu.ops.forces import compute_forces
+    from gpusph_tpu.ops.forces_pallas import (
+        build_block_plan, compute_forces_pallas, pallas_supported)
+    from gpusph_tpu.ops.neighbors import build_cells
+    from gpusph_tpu.problems.base import get_problem
+
+    prob = sys.argv[1] if len(sys.argv) > 1 else "DamBreak3D"
+    dp = float(sys.argv[2]) if len(sys.argv) > 2 else 0.03
+    P = get_problem(prob)(dict(deltap=dp))
+    grid, state = P.build()
+    fw = P.fw.finalize()
+    assert pallas_supported(fw, grid), "config not on the Pallas path"
+    n = int(state.count_active())
+    print(f"{prob} dp={dp}: {n} particles, device={jax.devices()[0]}",
+          flush=True)
+
+    @jax.jit
+    def both(s):
+        s, aux = build_cells(grid, s)
+        plan = build_block_plan(fw, grid, aux, s.capacity)
+        fp = compute_forces_pallas(fw, grid, s, aux, table=plan)
+        fx = compute_forces(fw, grid, s, aux, chunk_cells=256)
+        return fp, fx
+
+    fp, fx = jax.block_until_ready(both(state))
+
+    fails = []
+    report = {}
+    for name in ("DvDt", "DrDt", "xsph", "DEDt"):
+        a = np.asarray(getattr(fp, name), np.float64)
+        b = np.asarray(getattr(fx, name), np.float64)
+        scale = np.abs(b).max() + 1e-30
+        adiff = np.abs(a - b).max()
+        rel = adiff / scale
+        report[name] = {"max_abs": float(adiff), "rel": float(rel),
+                        "scale": float(scale)}
+        # both paths accumulate f32 in different orders; 5e-4 of the field
+        # scale covers reduction-order noise, anything larger is a bug
+        if rel > 5e-4:
+            fails.append(name)
+        print(f"  {name:6s} max|d|={adiff:.3e} scale={scale:.3e} "
+              f"rel={rel:.2e}", flush=True)
+    for name in ("max_accel", "max_sspeed"):
+        a = float(getattr(fp, name))
+        b = float(getattr(fx, name))
+        rel = abs(a - b) / (abs(b) + 1e-30)
+        report[name] = {"pallas": a, "xla": b, "rel": rel}
+        if rel > 1e-3:
+            fails.append(name)
+        print(f"  {name}: pallas={a:.6g} xla={b:.6g} rel={rel:.2e}",
+              flush=True)
+
+    ok = not fails
+    print(json.dumps({"parity": "ok" if ok else "FAIL", "problem": prob,
+                      "deltap": dp, "n": n, "fails": fails,
+                      "device": str(jax.devices()[0].device_kind)}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
