@@ -112,6 +112,8 @@ def main(argv=None):
         outdir,
         fw,
         vtk_every=problem.vtk_write_every,
+        vtklegacy_every=problem.writer_freqs.get("vtklegacy", 0.0),
+        text_every=problem.writer_freqs.get("text", 0.0),
         hot_every=args.checkpoint_every,
         keep_hot=args.checkpoints,
         gages=problem.gages,
@@ -119,7 +121,9 @@ def main(argv=None):
         grid=grid,
     )
 
-    write_every = problem.vtk_write_every or 0.0
+    freqs = [problem.vtk_write_every] + list(problem.writer_freqs.values())
+    freqs = [f for f in freqs if f and f > 0]
+    write_every = min(freqs) if freqs else 0.0
 
     def on_write(s: Simulator, st):
         writers.maybe_write(

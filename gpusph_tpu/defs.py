@@ -162,6 +162,18 @@ class PostProcessType(IntEnum):
     CALC_PRIVATE = 5
 
 
+class WriterType(IntEnum):
+    """Particle-dump writer kinds (reference `src/Writer.h:58-75`; UDP /
+    Display/Catalyst writers are not applicable in this headless target —
+    the CallbackWriter analogue is ``Simulator.run(on_write=...)``)."""
+
+    TEXTWRITER = 0
+    VTKWRITER = 1
+    VTKLEGACYWRITER = 2
+    COMMONWRITER = 3
+    HOTWRITER = 4
+
+
 class Periodicity(enum.IntFlag):
     """Periodic boundary axes (reference `src/particledefine.h:231-243`)."""
 

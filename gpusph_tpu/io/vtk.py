@@ -184,4 +184,105 @@ def read_vtu(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
-__all__ = ["VTKWriter", "read_vtu"]
+class VTKLegacyWriter:
+    """ASCII legacy-VTK (.vtk POLYDATA) particle writer — the reference's
+    VTKLegacyWriter (`src/writers/VTKLegacyWriter.cc:64-190`): POINTS +
+    1-vertex cells, then Velocity/Pressure/Density/Mass point data plus
+    Type+flags/ParticleId int scalars and optional Vorticity, with a
+    ``VTUinp.pvd`` collection index alongside."""
+
+    def __init__(self, outdir: str, prefix: str = "PART"):
+        self.outdir = outdir
+        self.prefix = prefix
+        os.makedirs(outdir, exist_ok=True)
+        self._series = []
+        self._index = 0
+
+    def write(self, time: float, arrays: Dict[str, np.ndarray]) -> str:
+        pos = np.asarray(arrays["pos"], np.float64)
+        n = len(pos)
+        fname = f"{self.prefix}_{self._index:05d}.vtk"
+        path = os.path.join(self.outdir, fname)
+        with open(path, "w") as f:
+            f.write("# vtk DataFile Version 2.0\n")
+            f.write(f"{self.prefix} t={time:.9g}\n")
+            f.write("ASCII\nDATASET POLYDATA\n")
+            f.write(f"POINTS {n} double\n")
+            np.savetxt(f, pos, fmt="%.9g")
+            f.write(f"\nVERTICES {n} {2 * n}\n")
+            np.savetxt(
+                f,
+                np.stack([np.ones(n, np.int64), np.arange(n)], axis=1),
+                fmt="%d",
+            )
+            f.write(f"\nPOINT_DATA {n}\n")
+
+            def scalars(name, a, typ="float", fmt="%.9g"):
+                f.write(f"SCALARS {name} {typ}\nLOOKUP_TABLE default\n")
+                np.savetxt(f, np.asarray(a).reshape(-1, 1), fmt=fmt)
+                f.write("\n")
+
+            def vectors(name, a):
+                f.write(f"VECTORS {name} float\n")
+                np.savetxt(f, np.asarray(a), fmt="%.9g")
+                f.write("\n")
+
+            if "Velocity" in arrays:
+                vectors("Velocity", arrays["Velocity"])
+            for k in ("Pressure", "Density", "Mass"):
+                if k in arrays:
+                    scalars(k, arrays[k])
+            if "Vorticity" in arrays:
+                vectors("Vorticity", arrays["Vorticity"])
+            if "Info" in arrays:
+                info = np.asarray(arrays["Info"], np.uint32)
+                scalars("Type+flags", info & 0xFFFF, "int", "%d")
+                scalars("Fluid", (info >> 16) & 0xFF, "int", "%d")
+            if "Id" in arrays:
+                scalars("ParticleId", arrays["Id"], "int", "%d")
+        self._series.append((time, fname))
+        self._index += 1
+        self._write_pvd()
+        return path
+
+    def _write_pvd(self):
+        path = os.path.join(self.outdir, "VTUinp.pvd")
+        with open(path, "w") as f:
+            f.write("<?xml version='1.0'?>\n")
+            f.write("<VTKFile type='Collection' version='0.1'>\n <Collection>\n")
+            for t, fn in self._series:
+                f.write(
+                    f"  <DataSet timestep='{t:.9g}' group='' part='0' "
+                    f"file='{sx.escape(fn)}'/>\n"
+                )
+            f.write(" </Collection>\n</VTKFile>\n")
+
+
+def read_vtk_legacy(path: str) -> Dict[str, np.ndarray]:
+    """Parse an ASCII legacy .vtk POLYDATA particle file (tests/tools)."""
+    out: Dict[str, np.ndarray] = {}
+    with open(path) as f:
+        lines = f.read().split("\n")
+    i = 0
+    n = 0
+    while i < len(lines):
+        ln = lines[i].split()
+        if not ln:
+            i += 1
+            continue
+        if ln[0] == "POINTS":
+            n = int(ln[1])
+            out["pos"] = np.loadtxt(lines[i + 1:i + 1 + n]).reshape(n, 3)
+            i += n + 1
+        elif ln[0] == "VECTORS":
+            out[ln[1]] = np.loadtxt(lines[i + 1:i + 1 + n]).reshape(n, 3)
+            i += n + 1
+        elif ln[0] == "SCALARS":
+            out[ln[1]] = np.loadtxt(lines[i + 2:i + 2 + n]).reshape(n)
+            i += n + 2
+        else:
+            i += 1
+    return out
+
+
+__all__ = ["VTKWriter", "VTKLegacyWriter", "read_vtu", "read_vtk_legacy"]

@@ -189,7 +189,7 @@ class CommonWriter:
             )
         self._tp.flush()
 
-    def write(self, time: float, state: ParticleState):
+    def write(self, time: float, state: ParticleState, post=None):
         # float64 host reductions: order-stable, more accurate than the
         # reference's Kahan-compensated f32 sums (src/kahan.h)
         fluid = np.asarray(is_fluid(state.info) & state.active)
@@ -207,13 +207,37 @@ class CommonWriter:
         self._energy.flush()
 
         if self._gage is not None:
-            # gage height: max z of fluid particles within half a cell of (x,y)
-            pos = np.asarray(state.pos)[np.asarray(fluid)]
-            r = 2 * self.fw.sp.slength
+            # surface-particle elevation average (GPUSPH.cc:1650-1667):
+            # Wendland-2D weighted mean of surface-particle z within 2w of
+            # the gage; w=0 -> nearest surface particle's z
+            info = np.asarray(post["Info"]) if post and "Info" in post else (
+                np.asarray(state.info)
+            )
+            from ..state import FG_SURFACE
+
+            surf = np.asarray(fluid) & ((info & FG_SURFACE) != 0)
+            pos = np.asarray(state.pos)[surf]
+            if not surf.any():
+                # no surface flags available (surface detection not run):
+                # fall back to the max-z heuristic over fluid particles
+                pos = np.asarray(state.pos)[np.asarray(fluid)]
             heights = []
-            for (gx, gy) in self.gages:
-                near = (np.abs(pos[:, 0] - gx) < r) & (np.abs(pos[:, 1] - gy) < r)
-                heights.append(pos[near, 2].max() if near.any() else 0.0)
+            for g in self.gages:
+                gx, gy = g[0], g[1]
+                w = g[2] if len(g) > 2 else 0.0
+                r = np.hypot(pos[:, 0] - gx, pos[:, 1] - gy)
+                if not len(pos):
+                    heights.append(0.0)
+                elif not surf.any():
+                    near = r < 2 * self.fw.sp.slength
+                    heights.append(pos[near, 2].max() if near.any() else 0.0)
+                elif w > 0:
+                    q = r / w
+                    W = np.where(q < 2.0, (1.0 - 0.5 * q) ** 4 * (2.0 * q + 1.0), 0.0)
+                    den = W.sum()
+                    heights.append(float((W * pos[:, 2]).sum() / den) if den > 0 else 0.0)
+                else:
+                    heights.append(float(pos[np.argmin(r), 2]))
             self._gage.write(
                 f"{time:.9g}\t" + "\t".join(f"{h:.9g}" for h in heights) + "\n"
             )
@@ -230,14 +254,20 @@ class WriterDispatcher:
     (reference `Writer::Write/StartWriting/MarkWritten`)."""
 
     def __init__(self, outdir: str, fw: SimFramework, *, vtk_every=0.0,
-                 text_every=0.0, hot_every=0.0, keep_hot=3, gages=(),
-                 n_bodies=0, grid=None):
+                 text_every=0.0, vtklegacy_every=0.0, hot_every=0.0,
+                 keep_hot=3, gages=(), n_bodies=0, grid=None):
         self.fw = fw
         self.outdir = outdir
         os.makedirs(outdir, exist_ok=True)
         self.writers = []
         if vtk_every > 0:
             self.writers.append((VTKWriter(os.path.join(outdir, "data")), vtk_every, [0.0]))
+        if vtklegacy_every > 0:
+            from .vtk import VTKLegacyWriter
+
+            self.writers.append(
+                (VTKLegacyWriter(os.path.join(outdir, "data")), vtklegacy_every, [0.0])
+            )
         if text_every > 0:
             self.writers.append((TextWriter(os.path.join(outdir, "data")), text_every, [0.0]))
         self.common = CommonWriter(outdir, fw, gages=gages, n_bodies=n_bodies)
@@ -260,7 +290,7 @@ class WriterDispatcher:
         due = force or any(
             time + 1e-12 >= next_t[0] for _, _, next_t in self.writers
         )
-        if due and self._post_fn is not None:
+        if (due or self.common.gages) and self._post_fn is not None:
             post = self._post_fn(state)
             if "TestpointPress" in post:
                 self.common.write_testpoints(time, state, post)
@@ -271,7 +301,7 @@ class WriterDispatcher:
                     arrays = state_arrays(self.fw, state, post)
                 writer.write(time, arrays)
                 next_t[0] = time + every
-        self.common.write(time, state)
+        self.common.write(time, state, post)
         self.common.write_bodies(time, bodies)
         if self.hot and (force or time + 1e-12 >= self._next_hot):
             from ..bodies import bodies_to_dict

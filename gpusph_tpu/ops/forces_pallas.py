@@ -83,6 +83,8 @@ B = int(_os.environ.get("GTPU_B", "64"))  # central block size (slots)
 TS = int(_os.environ.get("GTPU_TS", "256"))
 # max fast-axis cells per block (bounds the run extent statically)
 SPAN = int(_os.environ.get("GTPU_SPAN", "16"))
+# 1 = one whole-run DMA per candidate run (fewer descriptors, surplus bytes)
+RUN_DMA = int(_os.environ.get("GTPU_RUN_DMA", "0"))
 PAD_POS = 1.0e4  # pad-slot coordinate: far away, finite under f32 kernels
 
 
@@ -643,22 +645,37 @@ def _forces_kernel(fw, grid, P, BPP, n_programs, n_blocks,
         return jnp.where(j + 1 < BPP, table_ref[0, jn, k], tnext_ref[0, 0, k])
 
     def dmas(tb, blk, sl, action):
-        # 9 candidate runs, 1..P tiles each (only needed tiles transfer)
-        for r in range(9):
-            t0 = tb(r)
-            need = tb(9 + r) + tb(18 + r)  # slack + len
-            for i in range(P):
-                copy = pltpu.make_async_copy(
-                    ptab.at[t0 + i],
-                    win2.at[sl, r * P + i],
-                    sems.at[sl, r, i],
+        if RUN_DMA:
+            # one P-tile DMA per run: moves (P - needed) surplus tiles but
+            # issues 10 descriptors/block instead of up to 9P+1 — wins when
+            # the scalar core's DMA-issue rate, not HBM bytes, is the
+            # bottleneck (measured: see PLAN.md round-3 notes)
+            for r in range(9):
+                t0 = tb(r)
+                action(
+                    pltpu.make_async_copy(
+                        ptab.at[pl.ds(t0, P)],
+                        win2.at[sl, pl.ds(r * P, P)],
+                        sems.at[sl, r, 0],
+                    )
                 )
-                if i == 0:
-                    action(copy)
-                else:
-                    @pl.when(need > i * TS)
-                    def _(copy=copy):
+        else:
+            # 9 candidate runs, 1..P tiles each (only needed tiles transfer)
+            for r in range(9):
+                t0 = tb(r)
+                need = tb(9 + r) + tb(18 + r)  # slack + len
+                for i in range(P):
+                    copy = pltpu.make_async_copy(
+                        ptab.at[t0 + i],
+                        win2.at[sl, r * P + i],
+                        sems.at[sl, r, i],
+                    )
+                    if i == 0:
                         action(copy)
+                    else:
+                        @pl.when(need > i * TS)
+                        def _(copy=copy):
+                            action(copy)
         # central tile (the block's own 128-slot tile; B=64 half selected
         # after the in-kernel transpose)
         action(

@@ -117,6 +117,7 @@ class Problem:
         self.dyn_layers = 3
         self._moving_body_count = 0
         self.vtk_write_every = 0.0
+        self.writer_freqs: Dict[str, float] = {}  # extra writers (legacy/text)
         self.body_motion: Dict[int, Callable] = {}  # object_idx -> motion cb
         self.sa_meshes: List[dict] = []  # SA boundary meshes (sa_mesh dicts)
         self.inlet_reserve: int = 0  # spare slots for inlet-created parts
@@ -229,11 +230,25 @@ class Problem:
     def get_dynamic_boundaries_layers(self) -> int:
         return self.dyn_layers
 
-    def add_writer(self, _writer_type=None, freq: float = 0.0):
-        self.vtk_write_every = freq
+    def add_writer(self, writer_type=None, freq: float = 0.0):
+        """Register a particle-dump writer (reference ``add_writer``,
+        `src/ProblemCore.cc`).  Default/unknown types map to the VTK writer;
+        ``WriterType.VTKLEGACYWRITER``/``TEXTWRITER`` select those formats."""
+        from ..defs import WriterType
 
-    def add_gage(self, x: float, y: float):
-        self.gages.append((x, y))
+        if writer_type == WriterType.VTKLEGACYWRITER:
+            self.writer_freqs["vtklegacy"] = freq
+        elif writer_type == WriterType.TEXTWRITER:
+            self.writer_freqs["text"] = freq
+        else:
+            self.vtk_write_every = freq
+
+    def add_gage(self, x: float, y: float, w: float = 0.0):
+        """Wave gage at (x, y) (reference ``add_gage``, `ProblemCore.h:477`).
+        ``w`` is the gage smoothing length: surface-particle elevations are
+        Wendland-2D averaged within 2w of the gage (GPUSPH.cc:1650-1667);
+        w=0 takes the nearest surface particle's z."""
+        self.gages.append((x, y, w))
 
     # --- geometry ----------------------------------------------------------
     def make_universe_box(self, origin, size):
@@ -291,6 +306,27 @@ class Problem:
         (reference `XYZReader`)."""
         pts = np.loadtxt(path, usecols=(0, 1, 2), ndmin=2)
         return self.add_points(gtype, pts, **kw)
+
+    def add_hdf5_file(self, gtype, path: str, *, velocity_driven=True, **kw):
+        """Load a Crixus .h5sph file (reference ``addHDF5File``,
+        `ProblemAPI_1.cc:1890-2030` + `HDF5SphReader.cc`).
+
+        GT_FLUID files become fluid points with mass = rho0*Volume per
+        particle; boundary files (SA) become an SA mesh (vertex particles +
+        boundary elements).  GT_OPENBOUNDARY marks the mesh as an inlet with
+        ``velocity_driven`` semantics (reference setVelocityDriven)."""
+        from ..io.hdf5sph import h5sph_fluid, h5sph_sa_mesh, read_h5sph
+
+        data = read_h5sph(path)
+        if gtype == GeometryType.FLUID:
+            pts, vol = h5sph_fluid(data)
+            rho0 = self.fw.pp.fluids[kw.get("fluid_idx", 0)].rho0
+            return self.add_points(gtype, pts, mass=rho0 * vol, **kw)
+        io = None
+        if gtype == GeometryType.OPENBOUNDARY:
+            io = ("inlet", bool(velocity_driven))
+        self.sa_meshes.append(h5sph_sa_mesh(data, io=io))
+        return len(self.sa_meshes) - 1
 
     def add_plane(self, point, normal):
         self.planes.append(Plane(tuple(point), tuple(normal)))
@@ -461,6 +497,17 @@ class Problem:
                     postprocess=self.fw.postprocess
                     + (PostProcessType.TESTPOINTS,),
                 )
+        if self.gages:
+            # wave gages average SURFACE-flagged particle elevations
+            # (GPUSPH.cc:1650-1667), so gages imply surface detection
+            from ..defs import PostProcessType
+
+            if PostProcessType.SURFACE_DETECTION not in self.fw.postprocess:
+                self.fw = dataclasses.replace(
+                    self.fw,
+                    postprocess=self.fw.postprocess
+                    + (PostProcessType.SURFACE_DETECTION,),
+                )
         # generic override of the cell capacity (the CHECK_NEIBSNUM analogue
         # of the reference's resize_neiblist), e.g. --max_ppc 64
         max_ppc = self.get_option("max_ppc", 0)
@@ -615,6 +662,9 @@ class Problem:
             if g.mass_by_density:
                 # m = dp^3 * physical_density(rho_init) per particle
                 mass_list.append(dp**3 * (np.asarray(rho_t) + 1.0) * rho0)
+            elif np.ndim(mass):
+                # per-particle masses (h5sph rho0*Volume, ProblemAPI_1.cc:1959)
+                mass_list.append(np.asarray(mass, np.float64))
             else:
                 mass_list.append(np.full(n, mass))
             packed = (

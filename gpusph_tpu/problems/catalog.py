@@ -1843,10 +1843,10 @@ class OffshorePile(Problem):
             )
         # wave gages (OffshorePile.cu:88-99)
         sl = self.fw.sp.slength
-        for z in (0.0, sl, 0.5 * sl, 0.25 * sl, 2 * sl):
-            self.add_gage(min(cyl_x, lx - 1.0), ly / 2 + off_y + 0.5)
+        for w in (0.0, sl, 0.5 * sl, 0.25 * sl, 2 * sl):
+            self.add_gage(min(cyl_x, lx - 1.0), ly / 2 + off_y + 0.5, w)
         for xg in (1.0, h_length, h_length * 3 / 4, h_length / 2, h_length / 4):
-            self.add_gage(xg, ly / 2 + off_y)
+            self.add_gage(xg, ly / 2 + off_y, dp)
 
 
 class ChannelIO(Problem):
@@ -2331,6 +2331,105 @@ class Spheric2SA(Problem):
         extras["turbvisc"] = 0.09 * extras["tke"] ** 2 / jnp.maximum(
             extras["eps"], 1e-10)
         return state.replace(extras=extras)
+
+
+class CompleteSaExample(Problem):
+    """Showcase SA problem: cubic tank with a velocity-driven inlet and an
+    immersed cube (reference `src/problems/CompleteSaExample.cu:38-130`:
+    SA_BOUNDARY + ENABLE_INLET_OUTLET + ENABLE_DENSITY_SUM, dynamic visc
+    1e-2, water level 0.5, 4 m/s inlet with a 1 s fade-in,
+    `CompleteSaExample.h:35-43` VELOCITY_DRIVEN/INLET_* constants).
+
+    Geometry is generated procedurally in place of the reference's Crixus
+    h5sph inputs (the same meshes can be loaded via ``add_hdf5_file`` when
+    .h5sph files are available).  The floating cube (kent2, mass by density
+    500) is modeled as a fixed SA obstacle: moving SA meshes are not wired
+    into the rigid-body engine yet.
+
+    Options: deltap, tend, pressure_driven (reference VELOCITY_DRIVEN=0),
+    inlet_level (INLET_WATER_LEVEL, pressure mode).
+    """
+
+    name = "CompleteSaExample"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        box = 1.0
+        H = 0.5  # setWaterLevel(0.5)
+        U = 4.0  # INLET_VELOCITY
+        fade = 1.0  # INLET_VELOCITY_FADE
+        vel_driven = not self.get_option("pressure_driven", False)
+        inlet_level = self.get_option("inlet_level", 0.9)  # INLET_WATER_LEVEL
+
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.SA_BOUNDARY,
+            rheology=RheologyType.NEWTONIAN,
+            visc_model=ViscousModel.MORRIS,
+            density_diffusion=DensityDiffusionType.BREZZI,
+            flags=SimFlags.ENABLE_DTADAPT | SimFlags.ENABLE_DENSITY_SUM,
+            simparams=SimParams(densityDiffCoeff=0.01, buildneibsfreq=1),
+        )
+        self.set_deltap(self.get_option("deltap", 0.02))
+        dp = self.deltap
+        self.set_gravity(-9.81)
+        # setMaxParticleSpeed(7.0) -> c0 = 10*vmax
+        fl = self.add_fluid(1000.0)
+        self.set_equation_of_state(fl, 7.0, 70.0)
+        self.set_kinematic_visc(fl, 1.0e-2)
+        self.set_tend(self.get_option("tend", 0.2))
+        self.add_writer(freq=1e-2)
+
+        margin = 0.1
+        self.make_universe_box((-margin, -margin, -margin),
+                               (box + 2 * margin, box + 2 * margin,
+                                box + 2 * margin))
+        # tank: open top, open x=0 end (inlet side)
+        self.add_sa_box((0.0, 0.0, 0.0), (box, box, box), faces="channel")
+        # far-end wall plate closes x=box (inward normal -x)
+        self.add_sa_plate((box, 0.0, 0.0), (0.0, box, 0.0),
+                          (0.0, 0.0, box), (-1.0, 0.0, 0.0))
+        # inlet plate on x=0 up to the water level, IO-driven
+        self.add_sa_plate((0.0, 0.0, 0.0), (0.0, box, 0.0),
+                          (0.0, 0.0, H), (1.0, 0.0, 0.0),
+                          io=("inlet", vel_driven))
+        # wall plate above the inlet (x=0, z in [H, box])
+        self.add_sa_plate((0.0, 0.0, H), (0.0, box, 0.0),
+                          (0.0, 0.0, box - H), (1.0, 0.0, 0.0))
+
+        # immersed cube (reference kent2 special boundary, setMassByDensity
+        # 500 -> would float; fixed obstacle here)
+        cside = 0.15
+        corig = (0.5 - cside / 2, 0.5 - cside / 2, 0.5 - cside)
+        self.add_sa_box(corig, (cside, cside, cside), faces="all",
+                        outward=True)
+
+        self.add_box(GeometryType.FLUID, FillType.SOLID,
+                     (dp, dp, dp), box - 2 * dp, box - 2 * dp, H - dp)
+        self.erase_fluid_inside(
+            geo.box_predicate(corig, (cside, cside, cside), margin=dp / 2))
+        self.set_water_level(H)
+
+        import jax.numpy as jnp
+
+        def imposed_vel(pos, t):
+            # INLET_VELOCITY with INLET_VELOCITY_FADE ramp
+            # (CompleteSaExample.cu:216-221)
+            u = jnp.float32(U) * jnp.minimum(t / jnp.float32(fade), 1.0)
+            z = jnp.zeros(pos.shape[0], pos.dtype)
+            return jnp.stack([jnp.full_like(z, u), z, z], axis=-1)
+
+        def imposed_press(pos, t):
+            # pressure inlet: hydrostatic head below INLET_WATER_LEVEL
+            # (CompleteSaExample.cu:203-214)
+            return jnp.float32(9.81e3) * jnp.maximum(
+                jnp.float32(inlet_level) - pos[:, 2], 0.0)
+
+        self.set_io(imposed_vel=imposed_vel, imposed_press=imposed_press,
+                    outflow=None)
+        tend = self.fw.sp.tend or 0.2
+        area = box * H
+        self.inlet_reserve = int(1.5 * U * area * tend / dp ** 3) + 64
 
 
 class StillWaterRepackSA(StillWaterSA):
