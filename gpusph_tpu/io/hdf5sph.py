@@ -137,12 +137,25 @@ def h5sph_sa_mesh(data: Dict[str, np.ndarray],
     )
     verts = data["pos"][vm]
     nv = len(verts)
-    # AbsoluteIndex -> local vertex index
-    remap = {int(a): i for i, a in enumerate(data["abs_index"][vm])}
-    vidx = np.asarray(
-        [[remap[int(a)] for a in row] for row in data["vertex_idx"][bm]],
-        np.int64,
-    ).reshape(-1, 3)
+    # AbsoluteIndex -> local vertex index (vectorized: searchsorted over
+    # the sorted vertex AbsoluteIndex; the reference checks and reports
+    # dangling references, ProblemAPI_1.cc:2241)
+    abs_v = np.asarray(data["abs_index"][vm], np.int64)
+    sort = np.argsort(abs_v)
+    abs_sorted = abs_v[sort]
+    refs = np.asarray(data["vertex_idx"][bm], np.int64).reshape(-1, 3)
+    loc = np.searchsorted(abs_sorted, refs)
+    bad = (loc >= len(abs_sorted)) | (
+        abs_sorted[np.minimum(loc, len(abs_sorted) - 1)] != refs
+    )
+    if bad.any():
+        seg, k = np.argwhere(bad)[0]
+        raise ValueError(
+            f"h5sph SA mesh: boundary element {seg} references vertex "
+            f"AbsoluteIndex {refs[seg, k]} which is not among the "
+            f"{len(abs_sorted)} vertex rows (corrupt Crixus file?)"
+        )
+    vidx = sort[loc]
     seg_pos = data["pos"][bm]
     # per-segment vertex positions relative to the barycenter
     seg_verts = verts[vidx] - seg_pos[:, None, :]

@@ -191,9 +191,14 @@ class VTKLegacyWriter:
     Type+flags/ParticleId int scalars and optional Vorticity, with a
     ``VTUinp.pvd`` collection index alongside."""
 
-    def __init__(self, outdir: str, prefix: str = "PART"):
+    def __init__(self, outdir: str, prefix: str = "PART", *,
+                 multifluid: bool = False, has_objects: bool = False):
         self.outdir = outdir
         self.prefix = prefix
+        # VTKLegacyWriter.cc emits the Fluid scalar only for multifluid
+        # runs, and Object instead when bodies exist
+        self.multifluid = multifluid
+        self.has_objects = has_objects
         os.makedirs(outdir, exist_ok=True)
         self._series = []
         self._index = 0
@@ -237,7 +242,10 @@ class VTKLegacyWriter:
             if "Info" in arrays:
                 info = np.asarray(arrays["Info"], np.uint32)
                 scalars("Type+flags", info & 0xFFFF, "int", "%d")
-                scalars("Fluid", (info >> 16) & 0xFF, "int", "%d")
+                if self.multifluid:
+                    scalars("Fluid", (info >> 16) & 0xFF, "int", "%d")
+                elif self.has_objects:
+                    scalars("Object", (info >> 16) & 0xFF, "int", "%d")
             if "Id" in arrays:
                 scalars("ParticleId", arrays["Id"], "int", "%d")
         self._series.append((time, fname))

@@ -227,15 +227,20 @@ class CommonWriter:
                 w = g[2] if len(g) > 2 else 0.0
                 r = np.hypot(pos[:, 0] - gx, pos[:, 1] - gy)
                 if not len(pos):
-                    heights.append(0.0)
+                    heights.append(float("nan"))
                 elif not surf.any():
                     near = r < 2 * self.fw.sp.slength
-                    heights.append(pos[near, 2].max() if near.any() else 0.0)
+                    heights.append(
+                        pos[near, 2].max() if near.any() else float("nan"))
                 elif w > 0:
                     q = r / w
                     W = np.where(q < 2.0, (1.0 - 0.5 * q) ** 4 * (2.0 * q + 1.0), 0.0)
                     den = W.sum()
-                    heights.append(float((W * pos[:, 2]).sum() / den) if den > 0 else 0.0)
+                    # no surface particle within 2w: NaN like the reference's
+                    # 0/0 (GPUSPH.cc:1693) so missing data stays visible
+                    heights.append(
+                        float((W * pos[:, 2]).sum() / den) if den > 0
+                        else float("nan"))
                 else:
                     heights.append(float(pos[np.argmin(r), 2]))
             self._gage.write(
@@ -265,9 +270,14 @@ class WriterDispatcher:
         if vtklegacy_every > 0:
             from .vtk import VTKLegacyWriter
 
-            self.writers.append(
-                (VTKLegacyWriter(os.path.join(outdir, "data")), vtklegacy_every, [0.0])
-            )
+            self.writers.append((
+                VTKLegacyWriter(
+                    os.path.join(outdir, "data"),
+                    multifluid=len(fw.pp.fluids) > 1,
+                    has_objects=n_bodies > 0,
+                ),
+                vtklegacy_every, [0.0],
+            ))
         if text_every > 0:
             self.writers.append((TextWriter(os.path.join(outdir, "data")), text_every, [0.0]))
         self.common = CommonWriter(outdir, fw, gages=gages, n_bodies=n_bodies)
@@ -290,7 +300,10 @@ class WriterDispatcher:
         due = force or any(
             time + 1e-12 >= next_t[0] for _, _, next_t in self.writers
         )
-        if (due or self.common.gages) and self._post_fn is not None:
+        # postprocess (surface detection, testpoints, flux) only when a
+        # writer is actually due — gages fall back to the max-z heuristic
+        # between writer dues instead of paying the pass per callback
+        if due and self._post_fn is not None:
             post = self._post_fn(state)
             if "TestpointPress" in post:
                 self.common.write_testpoints(time, state, post)

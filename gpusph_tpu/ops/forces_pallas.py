@@ -79,12 +79,18 @@ NOUT = 8  # DrDt, DvDt xyz, xsph xyz, DEDt
 # geometry knobs (env-overridable for perf sweeps; defaults are the tuned
 # production values)
 B = int(_os.environ.get("GTPU_B", "64"))  # central block size (slots)
-# table tile size (slots per [16,TS] tile) = compute chunk width
-TS = int(_os.environ.get("GTPU_TS", "256"))
+# table tile size (slots per [16,TS] tile) = compute chunk width.  128 beats
+# 256: the ~uniform(0,TS) run slack wastes half as many pair slots (measured
+# T128 mean 11.6 tiles vs T256 ~9 at 2x the width on DamBreak3D dp=0.012)
+TS = int(_os.environ.get("GTPU_TS", "128"))
+# unrolled compute sites per block: sites are fully unrolled (a fori_loop
+# body costs ~350ns/trip of loop machinery on v5e — 2.5x the [64,128] pair
+# math itself, measured in scripts/exp_iter3.py); blocks with more tiles
+# than T_CAP fall into a dynamic fori tail, so T_CAP trades dead-site waste
+# (low cap = none, tail often) against tail trips (high cap = never)
+T_CAP = int(_os.environ.get("GTPU_TCAP", "14"))
 # max fast-axis cells per block (bounds the run extent statically)
 SPAN = int(_os.environ.get("GTPU_SPAN", "16"))
-# 1 = one whole-run DMA per candidate run (fewer descriptors, surplus bytes)
-RUN_DMA = int(_os.environ.get("GTPU_RUN_DMA", "0"))
 PAD_POS = 1.0e4  # pad-slot coordinate: far away, finite under f32 kernels
 
 
@@ -151,7 +157,7 @@ def plan_dims(fw: SimFramework, grid: CellGrid, capacity: int):
     ext_slots = ext + (ext // B + 3) * (B - 1)
     P = _round_up(ext_slots + TS, TS) // TS  # max tiles per run
     T_MAX = 9 * P  # chunk-list capacity per block
-    TW = _round_up(32 + 4 * T_MAX, 32)  # table row width (i32)
+    TW = _round_up(32 + 3 * T_MAX, 32)  # table row width (i32)
     # block count bound: count splits (every B particles) + span splits
     # (at most one per SPAN-aligned segment of occupied cells) + one per row
     BPP = 8
@@ -310,20 +316,25 @@ def build_block_plan(fw: SimFramework, grid: CellGrid, aux: CellAux,
     i_of_t = tgrid - sel9(cum)
     sl = sel9(slacks)
     lnn = sel9(lens)
-    win_idx = r_of_t * P_t + i_of_t
     lo = jnp.clip(sl - i_of_t * TS, 0, TS)
     hi = jnp.clip(sl + lnn - i_of_t * TS, 0, TS)
-    id_base = (sel9(tiles) + i_of_t) * TS
-    meta = jnp.stack([win_idx, lo, hi, id_base], -1)  # [n_blocks, T_MAX, 4]
+    # source tile in ptab per packed chunk t: the kernel DMAs exactly the
+    # block's T_tot needed tiles (one descriptor per real tile) into densely
+    # packed window slots — dead sites (t >= T_tot, reached by the unrolled
+    # T_CAP loop) have empty hi==lo masks and are routed to tile 0 so they
+    # never read or copy out of bounds
+    src_tile = jnp.where(
+        tgrid < T_tot[:, None],
+        jnp.clip(sel9(tiles) + i_of_t, 0, S_pack // TS - 1),
+        0,
+    )
+    meta = jnp.stack([src_tile, lo, hi], -1)  # [n_blocks, T_MAX, 3]
 
     table = jnp.zeros((n_blocks, TW), jnp.int32)
-    table = table.at[:, 0:9].set(jnp.stack(tiles, -1))
-    table = table.at[:, 9:18].set(jnp.stack(slacks, -1))
-    table = table.at[:, 18:27].set(jnp.stack(lens, -1))
     table = table.at[:, 28].set(count)
     table = table.at[:, 29].set(T_tot)
-    table = table.at[:, 32:32 + 4 * T_MAX].set(
-        meta.reshape(n_blocks, 4 * T_MAX)
+    table = table.at[:, 32:32 + 3 * T_MAX].set(
+        meta.reshape(n_blocks, 3 * T_MAX)
     )
     table = table.reshape(d["n_programs"], BPP, TW)
     tnext = jnp.concatenate(
@@ -395,7 +406,7 @@ def _pack_table(fw: SimFramework, state: ParticleState, gather_idx, effvisc=None
     return Ptab.reshape(S // TS, TS, NCOLS).transpose(0, 2, 1)
 
 
-def _forces_block_body(fw: SimFramework, grid: CellGrid, P: int,
+def _forces_block_body(fw: SimFramework, grid: CellGrid, P: int, t_cap: int,
                        tb, win, cenT, bB, out_ref):
     """Pair physics for one block: centrals cenT [B,16] (sublanes),
     candidates streamed from the chunked window win [9*P,16,128] one
@@ -439,11 +450,11 @@ def _forces_block_body(fw: SimFramework, grid: CellGrid, P: int,
     liota = jax.lax.broadcasted_iota(jnp.int32, (1, TS), 1)
 
     def chunk_body(t, acc):
-        # per-chunk metadata precomputed by build_block_plan
-        win_idx = tb(32 + 4 * t + 0)
-        lo = tb(32 + 4 * t + 1)
-        hi = tb(32 + 4 * t + 2)
-        w = win[win_idx]
+        # per-chunk metadata precomputed by build_block_plan; window slots
+        # are densely packed (chunk t was DMA'd into win[t])
+        lo = tb(32 + 3 * t + 1)
+        hi = tb(32 + 3 * t + 2)
+        w = win[t]
 
         def wrowf(c):
             return w[c, :].reshape(1, TS)
@@ -619,12 +630,20 @@ def _forces_block_body(fw: SimFramework, grid: CellGrid, P: int,
         return (a_DrDt, a_x, a_y, a_z, a_xs_x, a_xs_y, a_xs_z, a_e)
 
     z = jnp.zeros((B, 1), jnp.float32)
-    acc = jax.lax.fori_loop(0, T, chunk_body, (z, z, z, z, z, z, z, z))
+    acc = (z, z, z, z, z, z, z, z)
+    # unrolled static sites: a fori_loop trip costs ~350ns of loop machinery
+    # on v5e (~2.5x the [64,128] pair math, scripts/exp_iter3.py), so the
+    # first t_cap tiles are fully unrolled; sites past the block's T_tot
+    # read an in-range window but their hi==lo==0 metadata masks every pair
+    for t in range(t_cap):
+        acc = chunk_body(t, acc)
+    # dynamic tail for the rare blocks with more tiles than T_CAP
+    acc = jax.lax.fori_loop(t_cap, jnp.maximum(T, t_cap), chunk_body, acc)
     # [B, NOUT] -> [NOUT, B]: keeps the out array lane-efficient (B lanes)
     out_ref[0, 0] = jnp.concatenate(acc, axis=1).T
 
 
-def _forces_kernel(fw, grid, P, BPP, n_programs, n_blocks,
+def _forces_kernel(fw, grid, P, BPP, n_programs, n_blocks, t_cap,
                    table_ref, tnext_ref, ptab,
                    out_ref, win2, cen2, sems):
     """One program = BPP blocks; window + central DMAs double-buffered
@@ -645,46 +664,50 @@ def _forces_kernel(fw, grid, P, BPP, n_programs, n_blocks,
         return jnp.where(j + 1 < BPP, table_ref[0, jn, k], tnext_ref[0, 0, k])
 
     def dmas(tb, blk, sl, action):
-        if RUN_DMA:
-            # one P-tile DMA per run: moves (P - needed) surplus tiles but
-            # issues 10 descriptors/block instead of up to 9P+1 — wins when
-            # the scalar core's DMA-issue rate, not HBM bytes, is the
-            # bottleneck (measured: see PLAN.md round-3 notes)
-            for r in range(9):
-                t0 = tb(r)
-                action(
-                    pltpu.make_async_copy(
-                        ptab.at[pl.ds(t0, P)],
-                        win2.at[sl, pl.ds(r * P, P)],
-                        sems.at[sl, r, 0],
-                    )
-                )
-        else:
-            # 9 candidate runs, 1..P tiles each (only needed tiles transfer)
-            for r in range(9):
-                t0 = tb(r)
-                need = tb(9 + r) + tb(18 + r)  # slack + len
-                for i in range(P):
-                    copy = pltpu.make_async_copy(
-                        ptab.at[t0 + i],
-                        win2.at[sl, r * P + i],
-                        sems.at[sl, r, i],
-                    )
-                    if i == 0:
-                        action(copy)
-                    else:
-                        @pl.when(need > i * TS)
-                        def _(copy=copy):
-                            action(copy)
+        # packed-chunk DMAs: exactly the block's T_tot needed tiles move,
+        # one descriptor per tile, landing densely in window slots 0..T-1
+        # (the 9-run x P gated-descriptor scheme issued up to 9P+1 guarded
+        # sites per block; the scalar core's guard/issue rate, not HBM
+        # bytes, was the bottleneck — ~1.8us vs 0.67us floor per block)
+        T = tb(29)
+        for t in range(t_cap):
+            copy = pltpu.make_async_copy(
+                ptab.at[tb(32 + 3 * t)],
+                win2.at[sl, t],
+                sems.at[sl, t],
+            )
+            if t == 0:
+                action(copy)  # nonempty blocks always have >= 1 chunk
+            else:
+                @pl.when(T > t)
+                def _(copy=copy):
+                    action(copy)
+
+        def tail(t, carry):
+            action(pltpu.make_async_copy(
+                ptab.at[tb(32 + 3 * t)],
+                win2.at[sl, t],
+                sems.at[sl, t],
+            ))
+            return carry
+
+        jax.lax.fori_loop(t_cap, jnp.maximum(T, t_cap), tail, 0)
         # central tile (the block's own 128-slot tile; B=64 half selected
         # after the in-kernel transpose)
         action(
             pltpu.make_async_copy(
-                ptab.at[(blk * B) // TS], cen2.at[sl], sems.at[sl, 9, 0]
+                ptab.at[(blk * B) // TS], cen2.at[sl], sems.at[sl, 9 * P]
             )
         )
 
     count = tb_cur(28)
+
+    # first program: fill the window scratch with a safe finite pattern so
+    # dead compute sites (t >= T, never DMA'd) read initialized memory —
+    # their masks are all-zero but NaN/Inf x 0 would still poison the sums
+    @pl.when(gidx == 0)
+    def _():
+        win2[...] = jnp.ones(win2.shape, jnp.float32)
 
     # prologue: the very first block starts its own copies
     @pl.when((gidx == 0) & (count > 0))
@@ -706,7 +729,7 @@ def _forces_kernel(fw, grid, P, BPP, n_programs, n_blocks,
         for k in range(1, TS // B):
             sel = jnp.where(q == k, cenT[k * B:(k + 1) * B, :], sel)
         _forces_block_body(
-            fw, grid, P, tb_cur, win2.at[slot], sel, gidx * B, out_ref,
+            fw, grid, P, t_cap, tb_cur, win2.at[slot], sel, gidx * B, out_ref,
         )
 
     @pl.when(count == 0)
@@ -741,11 +764,14 @@ def compute_forces_pallas(
     plan = table
     ptab = _pack_table(fw, state, plan.gather_idx, effvisc=effvisc)
 
-    kernel = functools.partial(
-        _forces_kernel, fw, grid, P, BPP, n_programs, n_blocks
-    )
     # interpreter mode on CPU lets the unit tests validate the kernel logic
     interpret = jax.default_backend() == "cpu"
+    # full unrolling (T_CAP sites) only pays on hardware; in interpret mode
+    # it just multiplies trace/compile time, so keep the dynamic loop there
+    t_cap = 0 if interpret else min(T_CAP, 9 * P)
+    kernel = functools.partial(
+        _forces_kernel, fw, grid, P, BPP, n_programs, n_blocks, t_cap
+    )
     out = pl.pallas_call(
         kernel,
         grid=(n_programs, BPP),
@@ -764,7 +790,7 @@ def compute_forces_pallas(
         scratch_shapes=[
             pltpu.VMEM((2, 9 * P, NCOLS, TS), jnp.float32),
             pltpu.VMEM((2, NCOLS, TS), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 10, P)),
+            pltpu.SemaphoreType.DMA((2, 9 * P + 1)),
         ],
         interpret=interpret,
     )(plan.table, plan.tnext, ptab)

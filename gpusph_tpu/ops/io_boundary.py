@@ -36,6 +36,7 @@ import numpy as np
 from ..defs import ParticleType
 from ..framework import SimFramework
 from ..state import (
+    FG_CORNER,
     FG_INACTIVE,
     FG_INLET,
     FG_OUTLET,
@@ -69,7 +70,10 @@ def impose_io_values(fw: SimFramework, io: IOSpec, state: ParticleState, t):
     is_wall = (part_type(info) == ParticleType.BOUNDARY) | (
         part_type(info) == ParticleType.VERTEX
     )
-    io_row = is_wall & (has_flag(info, FG_INLET) | has_flag(info, FG_OUTLET))
+    # corner vertices behave like regular (solid) vertices: no imposed
+    # values (particleinfo.h:236)
+    io_row = is_wall & (has_flag(info, FG_INLET) | has_flag(info, FG_OUTLET)
+                        ) & ~has_flag(info, FG_CORNER)
     vel = state.vel
     if io.imposed_vel is not None:
         v_imp = io.imposed_vel(state.pos, t)
@@ -107,7 +111,12 @@ def inlet_create_host(fw: SimFramework, io: IOSpec, state: ParticleState,
     info = np.asarray(state.info)
     pos = np.asarray(state.pos)
     ptype = info & 7
-    inlet_v = (ptype == int(ParticleType.VERTEX)) & ((info & FG_INLET) > 0)
+    # corner vertices never generate fluid (particleinfo.h:236)
+    inlet_v = (
+        (ptype == int(ParticleType.VERTEX))
+        & ((info & FG_INLET) > 0)
+        & ((info & FG_CORNER) == 0)
+    )
     if not inlet_v.any() or io.imposed_vel is None:
         return state, vmass, next_id, 0
 

@@ -337,11 +337,11 @@ def impose_boundary_conditions(fw: SimFramework, grid: CellGrid,
     if keps:
         fields["tke"] = state.extras["tke"]
         fields["eps"] = state.extras["eps"]
-    io_press = fw.io is not None and fw.io.imposed_press is not None
-    if io_press:
-        # PRES_IO rows also need the fluid velocity extrapolated onto the
-        # wall (the reference's eulerVel on pressure-driven open boundaries,
-        # boundary_conditions_kernel.cu:1336-1380)
+    has_io = fw.io is not None
+    if has_io:
+        # IO rows need the interior fluid velocity extrapolated onto the
+        # wall: uInt feeds the Riemann-invariant imposition
+        # (calculateIOboundaryCondition, boundary_conditions_kernel.cu:109-200)
         fields.update(split_vec("vel", state.vel))
 
     FLUID = ParticleType.FLUID
@@ -372,7 +372,7 @@ def impose_boundary_conditions(fw: SimFramework, grid: CellGrid,
             # boundary_conditions_kernel.cu:1266-1270)
             out["sumtke"] = jnp.where(ok, n["tke"] * w, 0.0)
             out["sumeps"] = jnp.where(ok, n["eps"] * w, 0.0)
-        if io_press:
+        if has_io:
             out["sumvx"] = jnp.where(ok, n["vel_x"] * w, 0.0)
             out["sumvy"] = jnp.where(ok, n["vel_y"] * w, 0.0)
             out["sumvz"] = jnp.where(ok, n["vel_z"] * w, 0.0)
@@ -388,30 +388,103 @@ def impose_boundary_conditions(fw: SimFramework, grid: CellGrid,
     p_wall = sums["sumpWall"] / shepard
     rho_wall = eos.density_from_pressure(pp, p_wall, f_num)
     is_wall = (ptype == ParticleType.BOUNDARY) | (ptype == ParticleType.VERTEX)
+    new_vel = state.vel
     if fw.io is not None:
-        # open boundaries: PRES_IO rows take the imposed pressure
-        # (impose_io_bc, boundary_conditions_kernel.cu:1336-1380); VEL_IO
-        # rows keep the fluid-extrapolated density
-        from ..state import FG_INLET, FG_OUTLET, FG_VELOCITY_DRIVEN, has_flag
+        # Open boundaries: the prescribed component (velocity for VEL_IO,
+        # pressure for PRES_IO) determines the other via the appropriate
+        # Riemann invariant of the 1D characteristic problem normal to the
+        # boundary (calculateIOboundaryCondition,
+        # boundary_conditions_kernel.cu:109-200; theory
+        # gpusph-theory.tex:798-980).
+        from ..state import (FG_CORNER, FG_INLET, FG_OUTLET,
+                             FG_VELOCITY_DRIVEN, has_flag)
 
         io_row = is_wall & (
             has_flag(state.info, FG_INLET) | has_flag(state.info, FG_OUTLET)
-        )
-        pres_row = io_row & ~has_flag(state.info, FG_VELOCITY_DRIVEN)
-        if fw.io.imposed_press is not None:
-            tt = t if t is not None else jnp.float32(0.0)
-            p_imp = fw.io.imposed_press(state.pos, tt)
-            rho_wall = jnp.where(
-                pres_row, eos.density_from_pressure(pp, p_imp, f_num),
-                rho_wall,
-            )
-    new_rho = jnp.where(is_wall, rho_wall, state.rho)
-    new_vel = state.vel
-    if fw.io is not None and fw.io.imposed_press is not None:
-        v_ext = jnp.stack(
+        ) & ~has_flag(state.info, FG_CORNER)
+        tt = t if t is not None else jnp.float32(0.0)
+
+        # interior (fluid-extrapolated) state on the wall
+        nrm = jnp.stack(
+            [fields["nrm_x"], fields["nrm_y"], fields["nrm_z"]], axis=-1)
+        u_int = jnp.stack(
             [sums["sumvx"], sums["sumvy"], sums["sumvz"]], axis=-1
         ) / shepard[:, None]
-        new_vel = jnp.where(pres_row[:, None], v_ext, state.vel)
+        un_int = jnp.sum(u_int * nrm, axis=-1)
+        rho_int = rho_wall
+        c_int = eos.sound_speed(pp, rho_int, f_num)
+        r_int = eos.riemann_celerity(pp, rho_int, f_num)
+        lam_int = un_int + c_int
+        c0 = eos._per_fluid(pp, f_num, [f.c0 for f in pp.fluids])
+
+        if fw.io.imposed_vel is not None:
+            # VEL_IO: impose velocity => density from the Riemann invariant
+            # (bc_kernel.cu:126-143).  The imposed velocity was pinned onto
+            # the rows by impose_io_values before this pass.
+            vel_row = io_row & has_flag(state.info, FG_VELOCITY_DRIVEN)
+            un_ext = jnp.sum(state.vel * nrm, axis=-1)
+            # expansion wave
+            r_exp = r_int + (un_ext - un_int)
+            # shock wave: density behind the shock from the jump condition
+            p_int = eos.pressure(pp, rho_int, f_num)
+            rho_phys_int = eos.physical_density(pp, rho_int, f_num)
+            p_shock = p_int + rho_phys_int * un_int * (un_int - un_ext)
+            rho_shock = eos.density_from_pressure(
+                pp, jnp.maximum(p_shock, 0.0), f_num)
+            c_shock = eos.sound_speed(pp, rho_shock, f_num)
+            r_shock = jnp.where(
+                un_ext + c_shock <= lam_int,
+                r_int,  # contact discontinuity
+                eos.riemann_celerity(pp, rho_shock, f_num),
+            )
+            r_io = jnp.where(un_ext <= un_int, r_exp, r_shock)
+            rho_wall = jnp.where(
+                vel_row,
+                eos.density_from_riemann_celerity(pp, r_io, f_num),
+                rho_wall,
+            )
+        if fw.io.imposed_press is not None:
+            # PRES_IO: impose pressure => normal velocity (flux) from the
+            # Riemann invariant (bc_kernel.cu:145-198)
+            pres_row = io_row & ~has_flag(state.info, FG_VELOCITY_DRIVEN)
+            p_imp = fw.io.imposed_press(state.pos, tt)
+            rho_ext = eos.density_from_pressure(pp, jnp.maximum(p_imp, 0.0),
+                                                f_num)
+            r_ext = eos.riemann_celerity(pp, rho_ext, f_num)
+            c_ext = eos.sound_speed(pp, rho_ext, f_num)
+            p_int = eos.pressure(pp, rho_int, f_num)
+            rho_phys_int = eos.physical_density(pp, rho_int, f_num)
+            flux_exp = un_int + (r_ext - r_int)
+            flux_shock = (p_int - p_imp) / (
+                rho_phys_int * jnp.maximum(un_int, 1e-5 * c0)) + un_int
+            # "check that unInt was not too small"
+            flux_shock = jnp.where(
+                jnp.abs(flux_shock) > 0.1 * c0, un_int, flux_shock)
+            # expansion branch (rho_ext <= rho_int), falling through to
+            # shock then contact
+            f_e = jnp.where(
+                flux_exp + c_ext > lam_int,
+                jnp.where(flux_shock + c_ext <= lam_int, un_int, flux_shock),
+                flux_exp,
+            )
+            # shock branch (rho_ext > rho_int), falling through to
+            # expansion then contact
+            f_s = jnp.where(
+                flux_shock + c_ext <= lam_int,
+                jnp.where(flux_exp + c_ext > lam_int, un_int, flux_exp),
+                flux_shock,
+            )
+            flux = jnp.where(rho_ext <= rho_int, f_e, f_s)
+            # negative imposed pressure forces outflow (bc_kernel.cu:186-188)
+            flux = jnp.where(p_imp < 0.0, jnp.minimum(flux, 0.0), flux)
+            # outflow keeps the interior tangential velocity (dv/dn = 0);
+            # inflow is purely normal (bc_kernel.cu:189-195)
+            v_tang = u_int - un_int[:, None] * nrm
+            v_io = jnp.where(
+                (flux < 0.0)[:, None], v_tang, 0.0) + flux[:, None] * nrm
+            new_vel = jnp.where(pres_row[:, None], v_io, new_vel)
+            rho_wall = jnp.where(pres_row, rho_ext, rho_wall)
+    new_rho = jnp.where(is_wall, rho_wall, state.rho)
     if keps:
         extras = dict(state.extras)
         extras["tke"] = jnp.where(

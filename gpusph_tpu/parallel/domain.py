@@ -533,11 +533,19 @@ def make_sharded_chunk(
                     from ..ops.io_boundary import impose_io_values
 
                     stc = impose_io_values(fw, fw.io, stc, t)
-                gamma, _ = compute_gamma(fw, lg, stc, aux,
-                                         chunk_cells=chunk_cells)
-                # ghost rows' gamma comes from truncated neighborhoods:
-                # take the owners' values before it feeds the pair pass
-                gamma = exchange_field(gamma)
+                if fw.dynamic_gamma:
+                    # gamma is carried state, integrated after each euler
+                    # (INTEGRATE_GAMMA / DENSITY_SUM) — must match the
+                    # single-device choreography (integrator.py prep);
+                    # ghost rows were already refreshed with the carried
+                    # extras by halo_refresh
+                    gamma = stc.extras["gamma"]
+                else:
+                    gamma, _ = compute_gamma(fw, lg, stc, aux,
+                                             chunk_cells=chunk_cells)
+                    # ghost rows' gamma comes from truncated neighborhoods:
+                    # take the owners' values before it feeds the pair pass
+                    gamma = exchange_field(gamma)
                 stc = impose_boundary_conditions(
                     fw, lg, stc, aux, gamma, chunk_cells=chunk_cells, t=t)
                 # imposition rewrites rho/vel (+ extras) on wall rows from

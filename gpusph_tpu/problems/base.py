@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 import jax.numpy as jnp
@@ -68,7 +68,10 @@ class Geometry:
     points: np.ndarray  # [n,3] float64 particle positions
     fluid_idx: int = 0
     object_idx: int = 0
-    mass: Optional[float] = None  # per-particle mass override
+    # per-particle mass override: a scalar for uniform mass, or an [n]
+    # ndarray for per-particle masses (add_hdf5_file stores rho0*Volume
+    # per particle; build() handles both via np.ndim)
+    mass: Optional[Union[float, np.ndarray]] = None
     density: Optional[float] = None
     velocity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     feedback: bool = False  # enableFeedback: accumulate forces on this body
@@ -688,6 +691,7 @@ class Problem:
         # SA boundary meshes: vertex particles + segment (boundary-element)
         # particles with their normals / vertex offsets recorded for extras
         sa_rows = []  # (start, normals, vr or None)
+        sa_vert_rows = []  # (start, verts, is_io) for corner identification
         rho0_0 = self.fw.pp.fluids[0].rho0
         for mesh in self.sa_meshes:
             # open-boundary meshes: FG_INLET/FG_OUTLET(+FG_VELOCITY_DRIVEN)
@@ -712,6 +716,7 @@ class Problem:
                         np.uint32)
             )
             sa_rows.append((n_total, mesh["vert_normal"], None))
+            sa_vert_rows.append((info_list[-1], mesh["verts"], bool(io_kind)))
             n_total += nv
 
             ns = len(mesh["seg_pos"])
@@ -725,6 +730,25 @@ class Problem:
             )
             sa_rows.append((n_total, mesh["seg_normal"], mesh["seg_verts"]))
             n_total += ns
+
+        # corner vertices at open boundaries: an IO vertex that a solid
+        # (non-IO) boundary mesh also uses behaves like a regular vertex —
+        # no imposed values, no fluid generation (saIdentifyCornerVertices,
+        # boundary_conditions_kernel.cu:2319; particleinfo.h:236).  Meshes
+        # are built independently here, so "shared vertex" = coincident
+        # position within a quarter particle spacing.
+        io_vert_rows = [r for r in sa_vert_rows if r[2]]
+        if io_vert_rows:
+            from ..state import FG_CORNER as _FC
+
+            solid_verts = [v for (_, v, is_io) in sa_vert_rows if not is_io]
+            if solid_verts:
+                sv = np.concatenate(solid_verts)
+                tol2 = (0.25 * dp) ** 2
+                for info_arr, verts, _ in io_vert_rows:
+                    d2 = ((verts[:, None, :] - sv[None, :, :]) ** 2).sum(-1)
+                    corner = d2.min(axis=1) < tol2
+                    info_arr[corner] |= np.uint32(_FC)
 
         if capacity is None:
             capacity = n_total + self.inlet_reserve

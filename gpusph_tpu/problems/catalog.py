@@ -2444,3 +2444,150 @@ class StillWaterRepackSA(StillWaterSA):
         self.fw = dataclasses_replace(
             self.fw, flags=self.fw.flags | SimFlags.ENABLE_REPACKING)
         self._update_sp(repack_maxiter=10, repack_a=0.1, repack_alpha=0.1)
+
+
+class LithostaticSA(_LithostaticBase):
+    """Lithostatic equilibrium with semi-analytical boundaries (reference
+    `src/problems/LithostaticSA.cu`: LITHOSTATIC_BOUNDARY=SA_BOUNDARY,
+    LITHOSTATIC_FLAGS=ENABLE_MULTIFLUID|ENABLE_DTADAPT|ENABLE_DENSITY_SUM).
+
+    The reference imports a Salome/Crixus h5sph tank; here the SA container
+    is built procedurally (outward SA box) like StillWaterSA.  This is the
+    BASELINE.md lithostatic 1% fidelity case for SA boundaries: the Jacobi
+    effective-pressure solve must settle onto
+    p_eff(z) = (rho_sed - rho_w) g (hs - z) and the density-sum pressure
+    onto the two-layer hydrostatic profile."""
+
+    name = "LithostaticSA"
+    boundary = BoundaryType.SA_BOUNDARY
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        # LithostaticSA.cu:27-28: SA adds ENABLE_DENSITY_SUM (dynamic gamma)
+        self.fw = dataclasses_replace(
+            self.fw, flags=self.fw.flags | SimFlags.ENABLE_DENSITY_SUM)
+        dp = self.deltap
+        H, l = 2.5, 1.0
+        # replace the LJ/DYN point-filled tank of the base class with an
+        # SA container (segments + vertices), keeping the fluid fills
+        self.geometries = [g for g in self.geometries
+                           if g.gtype != GeometryType.FIXED_BOUNDARY]
+        self.sa_meshes = []
+        self.make_universe_box((-2 * dp, -2 * dp, -2 * dp),
+                               (l + 4 * dp, l + 4 * dp, H + 4 * dp))
+        self.add_sa_box((0.0, 0.0, 0.0), (l, l, H), faces="all")
+
+    def initialize_particles(self, grid, state):
+        # hydrostatic two-layer density + lithostatic effpres seed
+        # (Lithostatic.inc initializeParticles): water column of depth
+        # hw above z=hs, sediment below
+        import jax.numpy as jnp
+
+        from ..ops import eos as _eos
+        from ..state import FG_SEDIMENT, has_flag, is_fluid
+
+        pp = self.fw.pp
+        g = self.get_gravity_magnitude()
+        z = state.pos[:, 2]
+        sed = has_flag(state.info, FG_SEDIMENT)
+        # pressure: water rho_w g (hw+hs - z); sediment adds its own column
+        P_w = pp.fluids[0].rho0 * g * jnp.maximum(self.hs + self.hw - z, 0.0)
+        P_s = (pp.fluids[0].rho0 * g * self.hw
+               + pp.fluids[1].rho0 * g * jnp.maximum(self.hs - z, 0.0))
+        P = jnp.where(sed, P_s, P_w)
+        fnum = jnp.where(sed, 1, 0)
+        rho = _eos.density_for_pressure(pp, P, fnum)
+        rho = jnp.where(is_fluid(state.info) & state.active, rho,
+                        jnp.zeros_like(rho))
+        return state.replace(rho=rho.astype(jnp.float32))
+
+
+class BiFluidPoiseuilleSA(BiFluidPoiseuille):
+    """Two-layer Poiseuille flow with SA wall plates (reference
+    `src/problems/BiFluidPoiseuilleSA.cu`: BIFLUIDPOISEUILLE_BOUNDARY=
+    SA_BOUNDARY, flags ENABLE_DTADAPT|ENABLE_MULTIFLUID|ENABLE_DENSITY_SUM;
+    geometry from the PoiseuilleFlowSA Crixus meshes — built procedurally
+    here as periodic SA plates at z = +-H/2 like TurbulentPoiseuilleFlowSA).
+    """
+
+    name = "BiFluidPoiseuilleSA"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        from ..geometry.sa_mesh import plate_sa_mesh
+
+        self.fw = dataclasses_replace(
+            self.fw,
+            boundarytype=BoundaryType.SA_BOUNDARY,
+            flags=self.fw.flags | SimFlags.ENABLE_DENSITY_SUM,
+        )
+        dp = self.deltap
+        H = self.H
+        l = a_w = H / 4
+        # drop the DYN wall fills; SA plates bound the channel instead
+        self.geometries = [
+            g for g in self.geometries
+            if g.gtype != GeometryType.FIXED_BOUNDARY
+        ]
+        self.make_universe_box((-l / 2, -a_w / 2, -H / 2 - 2 * dp),
+                               (l, a_w, H + 4 * dp))
+        for (z0, nrm) in ((-H / 2, (0, 0, 1.0)), (H / 2, (0, 0, -1.0))):
+            self.sa_meshes.append(plate_sa_mesh(
+                (-l / 2, -a_w / 2, z0), (l, 0, 0), (0, a_w, 0), nrm, dp,
+                periodic_u=True, periodic_v=True,
+            ))
+
+
+class ProblemExample(Problem):
+    """API showcase problem (reference `src/problems/ProblemExample.cu`):
+    an infinite floor plane with a rotated grid of fixed cubes and a grid
+    of fluid spheres raining on them; LJ boundary + planes, artificial
+    viscosity."""
+
+    name = "ProblemExample"
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        self.setup_framework(
+            kernel=KernelType.WENDLAND,
+            boundary=BoundaryType.LJ_BOUNDARY,
+            rheology=RheologyType.INVISCID,
+            turbulence_model=TurbulenceModel.ARTIFICIAL,
+            flags=SimFlags.ENABLE_DTADAPT | SimFlags.ENABLE_PLANES,
+        )
+        self.set_deltap(self.get_option("deltap", 0.02))
+        self.set_gravity(-9.81)
+        self.set_max_fall(3.0)
+        fl = self.add_fluid(1000.0)
+        self.set_equation_of_state(fl, 7.0, 20.0)
+        self.set_tend(self.get_option("tend", 1.0))
+        self.add_writer(freq=0.1)
+
+        dimX, dimY, dimZ = 10.0, 10.0, 3.0
+        self.make_universe_box((0.0, 0.0, 0.0), (dimX, dimY, dimZ))
+        self.add_plane((0, 0, 0), (0, 0, 1))  # infinite floor
+
+        cube_size, cube_z = 0.4, 1.0
+        sphere_radius, sphere_z = 0.5, 2.0
+        grid_size = dimX / 5
+        corner = dimX / 2 - grid_size / 2
+        ncubes, nspheres = 4, 3
+        for i in range(ncubes):
+            for j in range(ncubes):
+                cx = corner + i * grid_size / (ncubes - 1)
+                cy = corner + j * grid_size / (ncubes - 1)
+                gid = self.add_box(
+                    GeometryType.FIXED_BOUNDARY, FillType.BORDER,
+                    (cx - cube_size / 2, cy - cube_size / 2,
+                     cube_z - cube_size / 2),
+                    cube_size, cube_size, cube_size)
+                self.rotate(gid, i * (math.pi / 2) / ncubes,
+                            j * (math.pi / 2) / ncubes, 0.0,
+                            center=(cx, cy, cube_z))
+        for i in range(nspheres):
+            for j in range(nspheres):
+                self.add_sphere(
+                    GeometryType.FLUID, FillType.SOLID,
+                    (corner + i * grid_size / (nspheres - 1),
+                     corner + j * grid_size / (nspheres - 1), sphere_z),
+                    sphere_radius)

@@ -49,6 +49,18 @@ FG_INTERFACE = 1 << 12  # sediment/phase interface particle (post-processing)
 FLUID_NUM_SHIFT = 16
 FLUID_NUM_MASK = 0xFF
 
+# open-boundary object number (bits 24-31): which open boundary an IO
+# segment/vertex belongs to — the reference keeps it in particleinfo's
+# object field; here fluid/object shares bits 16-23, so IO rows carry
+# their boundary id separately (used by the IO water-depth reduction,
+# forces_kernel.def:3302, GPUSPH.cc:2206)
+IO_OBJ_SHIFT = 24
+IO_OBJ_MASK = 0xFF
+
+
+def io_object_num(info):
+    return ((info >> IO_OBJ_SHIFT) & IO_OBJ_MASK).astype(jnp.int32)
+
 
 def make_info(ptype, flags=0, fluid_or_object=0):
     """Pack particle type, flags and fluid/object number into a uint32."""

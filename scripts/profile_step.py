@@ -93,9 +93,10 @@ def main():
               lambda s: compute_forces_pallas(fw, grid, s, aux, table=plan),
               sstate, per=("parts", n))
 
-    phase("forces XLA (full)",
-          lambda s: compute_forces(fw, grid, s, aux, chunk_cells=256),
-          sstate, per=("parts", n), r2=4)
+    if not int(os.environ.get("GTPU_PROFILE_FAST", "0")):
+        phase("forces XLA (full)",
+              lambda s: compute_forces(fw, grid, s, aux, chunk_cells=256),
+              sstate, per=("parts", n), r2=4)
 
     f_out = jax.jit(
         lambda s: compute_forces_pallas(fw, grid, s, aux, table=plan)

@@ -192,3 +192,96 @@ def test_sharded_granular():
     """Granular rheology multi-device (effpres halo per Jacobi iteration)."""
     P = get_problem("LithostaticLJ")(dict(deltap=0.1, jacobi_maxiter=40))
     _traj_compare(P, ndev=2, nchunks=1, atol_pos=1e-5)
+
+
+def test_sharded_sa_quadrature():
+    """SA boundaries with per-pass gamma quadrature: segment/vertex BC
+    imposition + gamma halo exchange must match single-device
+    (UPDATE_EXTERNAL choreography, PredictorCorrectorIntegrator.cc:121-305).
+    """
+    P = get_problem("StillWaterSA")(dict(ppH=6, density_sum=0))
+    _traj_compare(P, ndev=4, nchunks=1, atol_pos=1e-5)
+
+
+def test_sharded_sa_density_sum():
+    """SA with ENABLE_DENSITY_SUM + dynamic (carried) gamma: the sharded
+    prep must use the integrated gamma like the single-device path
+    (integrator.py prep), not re-quadrature it."""
+    P = get_problem("StillWaterSA")(dict(ppH=6, density_sum=1))
+    grid, state = P.build()
+    fw = P.fw.finalize()
+
+    # seed gamma/gradgamma once host-side (saInitGamma analogue) so both
+    # trajectories start from identical carried state
+    from gpusph_tpu.ops.density_sum import init_dynamic_gamma
+    from gpusph_tpu.ops.neighbors import build_cells
+
+    def _init(s):
+        s, aux = build_cells(grid, s)
+        return init_dynamic_gamma(fw, grid, s, aux)
+
+    state = jax.jit(_init)(state)
+    P.grid_state = (grid, state)
+    _traj_compare(P, ndev=4, nchunks=1, atol_pos=1e-5)
+
+
+def test_sharded_keps():
+    """k-epsilon multi-device: DKDE/turbvisc pair fields + implicit k-eps
+    update must match single-device."""
+    from gpusph_tpu.defs import (BoundaryType, DensityDiffusionType,
+                                 KernelType, RheologyType, SimFlags,
+                                 TurbulenceModel, ViscousModel)
+    from gpusph_tpu.problems.base import (FillType, GeometryType, Problem,
+                                          SimParams)
+
+    class _KepsBox(Problem):
+        name = "_KepsBox"
+
+        def __init__(self, options=None):
+            super().__init__(options)
+            H, l, ppH = 0.3, 0.3, 6
+            self.setup_framework(
+                kernel=KernelType.WENDLAND,
+                boundary=BoundaryType.SA_BOUNDARY,
+                rheology=RheologyType.NEWTONIAN,
+                turbulence_model=TurbulenceModel.KEPSILON,
+                visc_model=ViscousModel.MORRIS,
+                density_diffusion=DensityDiffusionType.FERRARI,
+                flags=SimFlags.ENABLE_DTADAPT,
+                simparams=SimParams(densityDiffCoeff=0.1),
+            )
+            self.set_deltap(H / ppH)
+            dp = self.deltap
+            self.set_gravity(-9.81)
+            self.set_max_fall(H)
+            fl = self.add_fluid(1000.0)
+            self.set_kinematic_visc(fl, 1e-4)
+            self.set_equation_of_state(fl, 7.0, 20.0)
+            self.set_tend(1.0)
+            h_box = H + 6 * dp
+            self.make_universe_box((-2 * dp, -2 * dp, -2 * dp),
+                                   (l + 4 * dp, l + 4 * dp, h_box + 4 * dp))
+            self.add_sa_box((0.0, 0.0, 0.0), (l, l, h_box), faces="all")
+            self.add_box(GeometryType.FLUID, FillType.SOLID,
+                         (dp, dp, dp), l - 2 * dp, l - 2 * dp, H - dp)
+            self.set_water_level(H)
+
+        def initialize_particles(self, grid, state):
+            import jax.numpy as jnp
+
+            extras = dict(state.extras)
+            extras["tke"] = jnp.where(state.active, 1e-3, 0.0)
+            extras["eps"] = jnp.where(state.active, 1e-2, 1e-5)
+            extras["turbvisc"] = 0.09 * extras["tke"] ** 2 / jnp.maximum(
+                extras["eps"], 1e-10)
+            return state.replace(extras=extras)
+
+    _traj_compare(_KepsBox(), ndev=4, nchunks=1, atol_pos=1e-5)
+
+
+def test_sharded_io_channel():
+    """Open-boundary (IO) problem sharded: imposed inlet/outlet values +
+    kill_outflow must match single-device within a chunk (inlet creation is
+    host-side at chunk cadence in both paths)."""
+    P = get_problem("ChannelIO")(dict(deltap=0.05))
+    _traj_compare(P, ndev=4, nchunks=1, atol_pos=1e-5)
