@@ -38,6 +38,13 @@ def parse_args(argv):
     ap.add_argument("--repack", action="store_true", help="run repacking first")
     ap.add_argument("--repack-only", action="store_true")
     ap.add_argument("--device", default=None, help="ignored (XLA owns devices)")
+    ap.add_argument(
+        "--ndev", type=int, default=1,
+        help="devices to shard over (slab decomposition over a 1-D mesh; "
+        "the analogue of the reference's --gpudirect multi-GPU run). "
+        "Without N real chips set JAX_PLATFORMS=cpu "
+        "XLA_FLAGS=--xla_force_host_platform_device_count=N",
+    )
     ap.add_argument("--debug", default="", help="comma list of debug flags")
     args, extra = ap.parse_known_args(argv)
 
@@ -79,9 +86,16 @@ def main(argv=None):
     fw = problem.fw.finalize()
     outdir = args.dir or f"tests/{problem.name}_{time.strftime('%Y%m%dT%H%M%S')}"
 
-    sim = Simulator(fw, grid, bodies_specs=problem.body_specs())
+    if args.ndev and args.ndev > 1:
+        from .parallel.runner import ShardedSimulator
+
+        sim = ShardedSimulator(fw, grid, ndev=args.ndev,
+                               bodies_specs=problem.body_specs())
+    else:
+        sim = Simulator(fw, grid, bodies_specs=problem.body_specs())
     n = int(state.count_active())
-    print(f"Problem {problem.name}: {n} particles, grid {grid.ncells}")
+    print(f"Problem {problem.name}: {n} particles, grid {grid.ncells}"
+          + (f", {args.ndev} devices" if args.ndev > 1 else ""))
 
     debug_flags = set(f for f in args.debug.split(",") if f)
     if "timing" in debug_flags:
@@ -94,7 +108,11 @@ def main(argv=None):
     if args.repack or args.repack_only:
         from .repacking import run_repacking
 
-        state = run_repacking(sim, state, outdir=outdir)
+        # repacking is a short settle pass — run it single-device like the
+        # reference's repack-then-simulate sequence
+        rsim = sim if args.ndev <= 1 else Simulator(
+            fw, grid, bodies_specs=problem.body_specs())
+        state = run_repacking(rsim, state, outdir=outdir)
         if args.repack_only:
             return 0
 

@@ -134,12 +134,16 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
         if sa:
             from .ops.sa import compute_gamma, impose_boundary_conditions
 
+            waterdepth = None
             if fw.io is not None:
-                from .ops.io_boundary import impose_io_values
+                from .ops.io_boundary import impose_io_values, io_water_depth
 
                 state = impose_io_values(
                     fw, fw.io, state,
                     t if t is not None else jnp.float32(0.0))
+                if fw.io.depth_boxes:
+                    # FIND_MAX_IOWATERDEPTH (forces_kernel.def:3279-3303)
+                    waterdepth = io_water_depth(fw, fw.io, state)
             if fw.dynamic_gamma:
                 # gamma is carried state, integrated after each euler
                 # (INTEGRATE_GAMMA / DENSITY_SUM), not re-quadratured
@@ -148,7 +152,8 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
                 gamma, _ = compute_gamma(fw, grid, state, aux,
                                          chunk_cells=chunk_cells)
             state = impose_boundary_conditions(
-                fw, grid, state, aux, gamma, chunk_cells=chunk_cells, t=t)
+                fw, grid, state, aux, gamma, chunk_cells=chunk_cells, t=t,
+                waterdepth=waterdepth)
         return state, sigma, gamma
 
     if use_pallas:
@@ -240,9 +245,9 @@ def make_sim_chunk(fw: SimFramework, grid: CellGrid, *, chunk_cells: int = 256,
 
     def chunk(state: ParticleState, dt, t, iters, bodies):
         state, aux = build_cells(grid, state)
-        # the Pallas DMA/compute plan only depends on the rebuild: build once
+        # the Pallas neighbor-list plan only depends on the rebuild: build once
         if use_pallas:
-            table = build_block_plan(fw, grid, aux, state.capacity)
+            table = build_block_plan(fw, grid, state, aux)
             max_run = table.max_run
         else:
             table = jnp.zeros((), jnp.int32)
@@ -349,9 +354,10 @@ class Simulator:
         # host-side inlet particle creation (CHECK_NEWNUMPARTS cadence)
         io = self.fw.io
         if io is not None and self._vmass is None:
-            import numpy as np
+            from .ops.io_boundary import init_io_mass
 
-            self._vmass = np.zeros(state.capacity, np.float64)
+            # staggered initial accumulator (initIOmass analogue)
+            self._vmass = init_io_mass(self.fw, state)
             self._next_id = int(jax.device_get(state.id).max()) + 1
 
         if on_write is not None:
@@ -402,9 +408,10 @@ class Simulator:
             )
         if self._run_cap and int(stats.max_run) > self._run_cap:
             raise CellOverflowError(
-                f"candidate-run extent {int(stats.max_run)} exceeds the "
-                f"window capacity {self._run_cap}; raise "
-                "SimParams.max_run_extent or max_parts_per_cell"
+                f"neighbor-list load {int(stats.max_run)} exceeds the "
+                f"per-block capacity {self._run_cap} groups; raise "
+                "SimParams.max_block_groups (or, if the value is >= 1e6: "
+                "max_blocks / max_run_extent)"
             )
         if not (float(stats.dt) > 1e-10):
             raise DtZeroException(f"timestep underflow: dt={float(stats.dt)}")

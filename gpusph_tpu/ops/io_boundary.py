@@ -51,13 +51,94 @@ class IOSpec(NamedTuple):
     """Problem-level open-boundary description (traceable callbacks).
 
     ``imposed_vel(pos, t) -> [N,3]`` for velocity-driven boundaries;
-    ``imposed_press(pos, t) -> [N]`` for pressure-driven ones;
-    ``outflow(pos) -> bool[N]`` marks the kill region beyond outlets.
+    ``imposed_press(pos, t[, waterdepth]) -> [N]`` for pressure-driven ones
+    (the optional third argument receives :func:`io_water_depth`'s
+    ``f32[n_boxes]`` when ``depth_boxes`` is set — the analogue of the
+    reference problems' ``IOwaterdepth[object(info)]`` parameter,
+    `ChannelIO.cu:149-191`);
+    ``outflow(pos) -> bool[N]`` marks the kill region beyond outlets;
+    ``depth_boxes`` are static AABBs ((lo),(hi)) — one per open boundary
+    that wants the dynamic water-depth reduction (FIND_MAX_IOWATERDEPTH).
     """
 
     imposed_vel: Optional[Callable] = None
     imposed_press: Optional[Callable] = None
     outflow: Optional[Callable] = None
+    depth_boxes: tuple = ()
+
+
+def io_water_depth(fw: SimFramework, io: IOSpec, state: ParticleState):
+    """Max fluid z per open-boundary region (FIND_MAX_IOWATERDEPTH).
+
+    The reference computes, during the forces pass, the max absolute z of
+    fluid neighbors of each IO boundary particle, atomically per boundary
+    object (`forces_kernel.def:3279-3303`), then maxes across devices and
+    nodes (`GPUSPH.cc:2206-2227`).  TPU-native redesign: IO plates are
+    static, so each boundary's neighborhood is a static AABB
+    (``io.depth_boxes``, built by the problem) expanded by the influence
+    radius; the per-object depth is one masked max over the fluid — an
+    O(N) fused reduction instead of a pair pass.  Returns ``f32[n_boxes]``
+    (−1e30 where no fluid is near; callers treat non-positive depths as
+    "no data", like `ChannelIO.cu:186-188`).  In sharded runs the caller
+    applies ``lax.pmax`` over the mesh axis (the networkIntReduction
+    analogue).
+    """
+    is_f = part_type(state.info) == ParticleType.FLUID
+    act = is_f & state.active
+    z = state.pos[:, 2]
+    r = fw.influenceradius
+    out = []
+    for lo, hi in io.depth_boxes:
+        inside = act
+        for ax in range(3):
+            inside = inside & (state.pos[:, ax] >= lo[ax] - r) & (
+                state.pos[:, ax] <= hi[ax] + r)
+        out.append(jnp.max(jnp.where(inside, z, -1e30)))
+    return jnp.stack(out)
+
+
+def call_imposed_press(io: IOSpec, pos, t, waterdepth):
+    """Invoke ``imposed_press`` with or without the water-depth argument,
+    by arity (problems predating depth_boxes take (pos, t))."""
+    import inspect
+
+    fn = io.imposed_press
+    try:
+        nparams = len(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        nparams = 2
+    if nparams >= 3 and waterdepth is not None:
+        return fn(pos, t, waterdepth)
+    return fn(pos, t)
+
+
+def init_io_mass(fw: SimFramework, state: ParticleState) -> np.ndarray:
+    """Initial vertex-mass staggering (initIOmass,
+    `boundary_conditions_kernel.cu:2037-2180`).
+
+    The reference redistributes mass between adjacent inlet vertices at
+    t=0 — odd-id vertices pull up toward refMass = 0.5·m0 from even-id
+    neighbors — so particle creation de-synchronizes instead of every
+    vertex spawning on the same step.  Our accumulator lives host-side
+    keyed by particle id (``vmass``); the equivalent stagger seeds odd-id
+    inlet vertices at +0.25·m0 and even-id ones at −0.25·m0
+    (mass-conserving in pairs, same +/− refMass/2 spread as the
+    reference's exchange).
+    """
+    vmass = np.zeros(state.capacity, np.float64)
+    info = np.asarray(state.info)
+    ids = np.asarray(state.id)
+    ptype = info & 7
+    inlet_v = (
+        (ptype == int(ParticleType.VERTEX))
+        & ((info & FG_INLET) > 0)
+        & ((info & FG_CORNER) == 0)
+    )
+    if inlet_v.any():
+        m0 = fw.pp.fluids[0].rho0 * fw.sp.deltap ** 3
+        sign = np.where(ids[inlet_v] % 2 == 1, 0.25, -0.25)
+        vmass[ids[inlet_v]] = sign * m0
+    return vmass
 
 
 def impose_io_values(fw: SimFramework, io: IOSpec, state: ParticleState, t):
@@ -104,12 +185,16 @@ def inlet_create_host(fw: SimFramework, io: IOSpec, state: ParticleState,
                       next_id: int):
     """Host-side inlet particle creation at a chunk boundary.
 
-    ``vmass`` is the persistent per-particle vertex-mass accumulator (host
-    numpy, zero for non-inlet-vertex rows).  Returns (state, vmass,
-    next_id, n_created).
+    ``vmass`` is the persistent vertex-mass accumulator indexed by particle
+    **id** (host numpy; rows are permuted by every rebuild sort — and move
+    between devices in sharded runs — so row indexing would leak mass
+    between vertices).  Vertex ids are assigned at build time and are
+    always < the initial capacity.  Returns (state, vmass, next_id,
+    n_created).
     """
     info = np.asarray(state.info)
     pos = np.asarray(state.pos)
+    ids = np.asarray(state.id)
     ptype = info & 7
     # corner vertices never generate fluid (particleinfo.h:236)
     inlet_v = (
@@ -132,9 +217,13 @@ def inlet_create_host(fw: SimFramework, io: IOSpec, state: ParticleState,
     # (mass = rho0 * volume, volume = area*dp/2 for plates)
     area = np.asarray(state.mass) / (rho0 * dp) * 2.0
     flux = rho0 * np.einsum("ij,ij->i", v_imp, belem) * area  # kg/s inward
-    vmass = vmass + np.where(inlet_v, flux * dt_chunk, 0.0)
+    vmass[ids[inlet_v]] += flux[inlet_v] * dt_chunk
 
-    spawn = inlet_v & (vmass > 0.5 * m0)
+    # only inlet-vertex ids index the accumulator (created fluid ids grow
+    # past its size)
+    acc = np.zeros(len(ids))
+    acc[inlet_v] = vmass[ids[inlet_v]]
+    spawn = inlet_v & (acc > 0.5 * m0)
     idx = np.nonzero(spawn)[0]
     if len(idx) == 0:
         return state, vmass, next_id, 0
@@ -183,7 +272,7 @@ def inlet_create_host(fw: SimFramework, io: IOSpec, state: ParticleState,
     massA[slots] = m0
     infoA[slots] = np.uint32(int(ParticleType.FLUID))
     idA[slots] = next_id + np.arange(n_new, dtype=np.uint32)
-    vmass[idx] -= m0
+    vmass[ids[idx]] -= m0
 
     # extras rows for the new particles: zero (belem/vr* stay zero)
     extras = {}
@@ -204,4 +293,12 @@ def inlet_create_host(fw: SimFramework, io: IOSpec, state: ParticleState,
     )
 
 
-__all__ = ["IOSpec", "impose_io_values", "kill_outflow", "inlet_create_host"]
+__all__ = [
+    "IOSpec",
+    "impose_io_values",
+    "kill_outflow",
+    "inlet_create_host",
+    "io_water_depth",
+    "call_imposed_press",
+    "init_io_mass",
+]

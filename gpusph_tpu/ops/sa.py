@@ -308,9 +308,14 @@ def compute_gamma(fw: SimFramework, grid: CellGrid, state: ParticleState,
 
 def impose_boundary_conditions(fw: SimFramework, grid: CellGrid,
                                state: ParticleState, aux: CellAux,
-                               gamma, *, chunk_cells: int = 256, t=None):
+                               gamma, *, chunk_cells: int = 256, t=None,
+                               waterdepth=None):
     """Impose wall density on segments and vertices from the fluid
     (saSegment/VertexBoundaryConditionsDevice fluid loops + impose_solid_bc).
+
+    ``waterdepth`` is the per-open-boundary f32[n_boxes] from
+    ``io_water_depth`` (FIND_MAX_IOWATERDEPTH), forwarded to 3-argument
+    ``imposed_press`` callbacks.
 
     Returns the state with segment/vertex rho replaced.
     """
@@ -447,7 +452,9 @@ def impose_boundary_conditions(fw: SimFramework, grid: CellGrid,
             # PRES_IO: impose pressure => normal velocity (flux) from the
             # Riemann invariant (bc_kernel.cu:145-198)
             pres_row = io_row & ~has_flag(state.info, FG_VELOCITY_DRIVEN)
-            p_imp = fw.io.imposed_press(state.pos, tt)
+            from .io_boundary import call_imposed_press
+
+            p_imp = call_imposed_press(fw.io, state.pos, tt, waterdepth)
             rho_ext = eos.density_from_pressure(pp, jnp.maximum(p_imp, 0.0),
                                                 f_num)
             r_ext = eos.riemann_celerity(pp, rho_ext, f_num)

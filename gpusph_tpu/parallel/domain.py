@@ -334,14 +334,18 @@ def make_sharded_chunk(
         # device d-1's upper planes, my upper ones from d+1's lower planes
         recv_dn = jax.tree.map(lambda a: jax.lax.ppermute(a, axis, up_perm), send_up)
         recv_up = jax.tree.map(lambda a: jax.lax.ppermute(a, axis, down_perm), send_dn)
-        # ppermute leaves edge devices with zeros; zero info would read as an
-        # active fluid particle, so kill rows whose mass is exactly 0 too
-        def sanitize(s):
-            bad = (s.mass == 0.0)
+        # ppermute leaves edge devices with zeros, and zero info would read
+        # as an active fluid particle.  Edge devices have no neighbor on
+        # that side, so kill the whole received region there (content
+        # sniffing like mass==0 is wrong: TESTPOINT particles legitimately
+        # carry zero mass).
+        def sanitize(s, from_below):
+            dev_ = jax.lax.axis_index(axis)
+            invalid = (dev_ == 0) if from_below else (dev_ == ndev - 1)
             dead = jnp.uint32(int(ParticleType.NONE))
-            return s.replace(info=jnp.where(bad, dead, s.info))
-        recv_dn = sanitize(recv_dn)
-        recv_up = sanitize(recv_up)
+            return s.replace(info=jnp.where(invalid, dead, s.info))
+        recv_dn = sanitize(recv_dn, True)
+        recv_up = sanitize(recv_up, False)
 
         # drop my own ghost/migrant rows, then fold in received migrants
         own = (h_sorted >= plane) & (h_sorted < (slab + 1) * plane)
@@ -398,10 +402,12 @@ def make_sharded_chunk(
         )
 
         ghost_dn = sanitize(
-            jax.tree.map(lambda a: jax.lax.ppermute(a, axis, up_perm), send_top)
+            jax.tree.map(lambda a: jax.lax.ppermute(a, axis, up_perm), send_top),
+            True,
         )
         ghost_up = sanitize(
-            jax.tree.map(lambda a: jax.lax.ppermute(a, axis, down_perm), send_bottom)
+            jax.tree.map(lambda a: jax.lax.ppermute(a, axis, down_perm), send_bottom),
+            False,
         )
         gh_dn_h = _local_hash(dd, fw, ghost_dn.pos, is_active(ghost_dn.info), dev)
         gh_up_h = _local_hash(dd, fw, ghost_up.pos, is_active(ghost_up.info), dev)
@@ -436,9 +442,13 @@ def make_sharded_chunk(
             max_occupancy=jnp.max(cnt[:n_cells]),
             n_active=jnp.sum(is_active(local.info).astype(jnp.int32)),
         )
-        # Pallas DMA/compute plan: once per rebuild, reused by every forces
-        # pass of the chunk (mirrors make_sim_chunk)
-        plan = build_block_plan(fw, lg, aux, capX) if use_pallas else None
+        # Pallas neighbor-list plan: once per rebuild, reused by every forces
+        # pass of the chunk (mirrors make_sim_chunk); the combined array is
+        # three independently sorted segments
+        plan = (
+            build_block_plan(fw, lg, comb, aux, regions=(cap, cap + H))
+            if use_pallas else None
+        )
 
         def exchange_tree(tree):
             """UPDATE_EXTERNAL for arbitrary [capX,...] per-particle arrays:
@@ -529,10 +539,17 @@ def make_sharded_chunk(
             if fw.sa_boundary:
                 from ..ops.sa import compute_gamma, impose_boundary_conditions
 
+                waterdepth = None
                 if fw.io is not None:
-                    from ..ops.io_boundary import impose_io_values
+                    from ..ops.io_boundary import (impose_io_values,
+                                                   io_water_depth)
 
                     stc = impose_io_values(fw, fw.io, stc, t)
+                    if fw.io.depth_boxes:
+                        # FIND_MAX_IOWATERDEPTH + the cross-device max
+                        # (GPUSPH.cc:2206-2227 networkIntReduction)
+                        waterdepth = jax.lax.pmax(
+                            io_water_depth(fw, fw.io, stc), axis)
                 if fw.dynamic_gamma:
                     # gamma is carried state, integrated after each euler
                     # (INTEGRATE_GAMMA / DENSITY_SUM) — must match the
@@ -547,7 +564,8 @@ def make_sharded_chunk(
                     # take the owners' values before it feeds the pair pass
                     gamma = exchange_field(gamma)
                 stc = impose_boundary_conditions(
-                    fw, lg, stc, aux, gamma, chunk_cells=chunk_cells, t=t)
+                    fw, lg, stc, aux, gamma, chunk_cells=chunk_cells, t=t,
+                    waterdepth=waterdepth)
                 # imposition rewrites rho/vel (+ extras) on wall rows from
                 # fluid sums; ghost wall rows need the owners' results
                 stc = halo_refresh(stc)

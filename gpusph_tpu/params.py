@@ -165,6 +165,21 @@ class SimParams:
     # max_parts_per_cell.  Problems auto-size this from the initial
     # occupancy; exceeded at runtime -> abort (CHECK_NEIBSNUM analogue).
     max_run_extent: int = 0
+    # Pallas per-rebuild neighbor-list capacity, in 16-particle groups per
+    # 64-central block (the analogue of the reference's neiblistsize,
+    # `simparams.h:96`).  0 -> worst case (every candidate group kept);
+    # Problems auto-probe a tight value.  Exceeded at runtime -> abort.
+    max_block_groups: int = 0
+    # Static bound on Pallas central blocks (0 -> worst case); auto-probed.
+    max_blocks: int = 0
+    # Static capacity of the flat per-rebuild window-tile list (sum over
+    # blocks of ceil(kept_groups / groups_per_tile)); 0 -> worst case
+    # (max_blocks * max_block_groups / groups_per_tile).  Auto-probed.
+    max_flat_tiles: int = 0
+    # Expansion factor applied to the influence radius when building the
+    # neighbor list, so pairs approaching within a chunk are still found
+    # (reference `simparams.h:100`; Spheric2SA.cu:70 uses 1.1).
+    nlexpansionfactor: float = 1.0
     # evaluate the Pallas pair-physics coefficient chain in bfloat16
     # (relative positions, r2 and the output accumulations stay f32).
     # ~2x VPU throughput on the forces pass at ~0.4% relative force error —

@@ -334,17 +334,24 @@ class Problem:
     def add_plane(self, point, normal):
         self.planes.append(Plane(tuple(point), tuple(normal)))
 
-    def set_io(self, *, imposed_vel=None, imposed_press=None, outflow=None):
+    def set_io(self, *, imposed_vel=None, imposed_press=None, outflow=None,
+               depth_boxes=()):
         """Open-boundary conditions (reference imposeBoundaryConditionHost /
         the problem's IO device callbacks): traceable ``imposed_vel(pos, t)``
-        / ``imposed_press(pos, t)`` + ``outflow(pos)`` kill region."""
+        / ``imposed_press(pos, t[, waterdepth])`` + ``outflow(pos)`` kill
+        region.  ``depth_boxes`` — static AABBs ((lo),(hi)), one per open
+        boundary wanting the FIND_MAX_IOWATERDEPTH reduction; their max
+        fluid z is passed as ``waterdepth`` (f32[n_boxes]) to a 3-argument
+        ``imposed_press``."""
         from ..defs import SimFlags
         from ..ops.io_boundary import IOSpec
 
         self.fw = dataclasses.replace(
             self.fw,
             io=IOSpec(imposed_vel=imposed_vel, imposed_press=imposed_press,
-                      outflow=outflow),
+                      outflow=outflow,
+                      depth_boxes=tuple(
+                          (tuple(lo), tuple(hi)) for lo, hi in depth_boxes)),
             flags=self.fw.flags | SimFlags.ENABLE_INLET_OUTLET,
         )
 
@@ -784,6 +791,24 @@ class Problem:
             extras["turbvisc"] = jnp.zeros((capacity,), jnp.float32)
         state = empty_state(capacity, extras)
         pos = np.concatenate(pos_list).astype(np.float32)
+        # auto-size the Pallas per-rebuild neighbor-list plan (block count +
+        # kept-groups capacity) from the initial layout; runtime overflow
+        # still aborts like CHECK_NEIBSNUM (integrator._check)
+        from ..ops.forces_pallas import pallas_supported, probe_plan_numpy
+
+        if (
+            self.fw.sp.max_blocks == 0
+            and pallas_supported(self.fw, grid)
+            and len(pos)
+        ):
+            probed = probe_plan_numpy(self.fw, grid, pos)
+            if self.fw.sp.max_block_groups:
+                probed["max_block_groups"] = self.fw.sp.max_block_groups
+            probed["max_run_extent"] = max(
+                probed["max_run_extent"], self.fw.sp.max_run_extent
+            )
+            self._update_sp(**probed)
+            self.fw = self.fw.finalize()
         state = state.replace(
             pos=state.pos.at[:n_total].set(jnp.asarray(pos)),
             vel=state.vel.at[:n_total].set(

@@ -1917,9 +1917,14 @@ class ChannelIO(Problem):
             z = jnp.zeros(pos.shape[0], pos.dtype)
             return jnp.stack([jnp.full_like(z, u), z, z], axis=-1)
 
-        def imposed_press(pos, t):
-            return jnp.float32(rho0 * g) * jnp.maximum(
-                jnp.float32(h0) - pos[:, 2], 0.0)
+        def imposed_press(pos, t, waterdepth):
+            # hydrostatic head below the *measured* water surface at the
+            # outlet (ChannelIO_imposeBoundaryCondition, ChannelIO.cu:111-191:
+            # localdepth = max(waterdepth - absPos.z, 0)); fall back to the
+            # nominal fill height while no fluid is near (ChannelIO.cu:186-188)
+            surf = jnp.where(waterdepth[0] > 0.0, waterdepth[0],
+                             jnp.float32(h0))
+            return jnp.float32(rho0 * g) * jnp.maximum(surf - pos[:, 2], 0.0)
 
         def outflow(pos):
             # SA fluid rests dp/2 off a wall: crossing that offset IS
@@ -1927,7 +1932,9 @@ class ChannelIO(Problem):
             return pos[:, 0] > jnp.float32(L - 0.5 * dp)
 
         self.set_io(imposed_vel=imposed_vel, imposed_press=imposed_press,
-                    outflow=outflow)
+                    outflow=outflow,
+                    # FIND_MAX_IOWATERDEPTH region: the outlet plate's AABB
+                    depth_boxes=(((L, 0.0, 0.0), (L, W, h_box)),))
         from ..defs import PostProcessType
 
         self.add_postprocess(PostProcessType.FLUX_COMPUTATION)

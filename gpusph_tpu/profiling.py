@@ -23,7 +23,7 @@ def phase_report(fw, grid, state, *, bodies_specs=(), reps: int = 5,
     from .bodies import init_bodies_state
     from .integrator import make_sim_chunk
     from .ops.forces import compute_forces
-    from .ops.forces_pallas import (_pack_table, build_block_plan,
+    from .ops.forces_pallas import (_pack_tables, build_block_plan,
                                     compute_forces_pallas, pallas_supported,
                                     plan_dims)
     from .ops.integrate import euler_step
@@ -59,10 +59,10 @@ def phase_report(fw, grid, state, *, bodies_specs=(), reps: int = 5,
     if use_pallas:
         plan = timeit(
             "build_block_plan", jax.jit(
-                lambda a: build_block_plan(fw, grid, a, state.capacity)), aux)
+                lambda s, a: build_block_plan(fw, grid, s, a)), sstate, aux)
         if plan is not None:
-            timeit("pack (field table)", jax.jit(
-                lambda s, g: _pack_table(fw, s, g)), sstate, plan.gather_idx)
+            timeit("pack (window+central)", jax.jit(
+                lambda s, p: _pack_tables(fw, grid, s, p)), sstate, plan)
             f_out = timeit("forces (pallas)", jax.jit(
                 lambda s, a, tb: compute_forces_pallas(fw, grid, s, a, table=tb)),
                 sstate, aux, plan)

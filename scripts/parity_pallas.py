@@ -40,7 +40,7 @@ def main():
     @jax.jit
     def both(s):
         s, aux = build_cells(grid, s)
-        plan = build_block_plan(fw, grid, aux, s.capacity)
+        plan = build_block_plan(fw, grid, s, aux)
         fp = compute_forces_pallas(fw, grid, s, aux, table=plan)
         fx = compute_forces(fw, grid, s, aux, chunk_cells=256)
         return fp, fx

@@ -47,7 +47,7 @@ def main():
     from gpusph_tpu.bodies import init_bodies_state
     from gpusph_tpu.integrator import Simulator
     from gpusph_tpu.ops.forces import compute_forces
-    from gpusph_tpu.ops.forces_pallas import (_pack_table, build_block_plan,
+    from gpusph_tpu.ops.forces_pallas import (_pack_tables, build_block_plan,
                                               compute_forces_pallas,
                                               pallas_supported, plan_dims)
     from gpusph_tpu.ops.integrate import euler_step
@@ -61,7 +61,7 @@ def main():
     n = int(state.count_active())
     d = plan_dims(fw, grid, state.capacity)
     print(f"particles={n} cells={grid.n_cells} K={fw.sp.max_parts_per_cell} "
-          f"RMAX={d['RMAX']} P={d['P']} blocks={d['n_blocks']} "
+          f"G_max={d['G_max']} T_total={d['T_total']} blocks={d['n_blocks']} "
           f"pallas={pallas_supported(fw, grid)} dev={jax.devices()[0]}",
           flush=True)
 
@@ -75,18 +75,13 @@ def main():
     sstate, aux = jax.jit(lambda s: build_cells(grid, s))(state)
 
     phase("build_block_plan",
-          lambda s: build_block_plan(
-              fw, grid, aux.replace(
-                  hash_sorted=aux.hash_sorted +
-                  (s.pos[0, 0] * 0).astype(jnp.int32)),
-              state.capacity),
-          sstate)
+          lambda s: build_block_plan(fw, grid, s, aux), sstate)
 
     plan = jax.jit(
-        lambda a: build_block_plan(fw, grid, a, state.capacity))(aux)
+        lambda s, a: build_block_plan(fw, grid, s, a))(sstate, aux)
 
-    phase("pack (table)", lambda s: _pack_table(fw, s, plan.gather_idx),
-          sstate, per=("parts", n))
+    phase("pack (window+central)",
+          lambda s: _pack_tables(fw, grid, s, plan), sstate, per=("parts", n))
 
     if pallas_supported(fw, grid):
         phase("forces pallas (full)",
